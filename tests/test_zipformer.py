@@ -1,0 +1,88 @@
+# Zipformer encoder: shape/length contracts, masking invariance, batching.
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def model():
+    import jax
+
+    from sherpa_vietnamese_asr_tpu.models import zipformer as z
+
+    cfg = z.ZipformerConfig(
+        num_encoder_layers=(1, 1, 1), downsampling_factor=(1, 2, 4),
+        encoder_dim=(64, 96, 96), ffn_dim=(96, 128, 128),
+        num_heads=(2, 2, 2), cnn_module_kernel=(15, 15, 7),
+        query_head_dim=16, pos_head_dim=4, value_head_dim=8, pos_dim=16,
+    )
+    params = z.init_zipformer_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def test_output_shape_and_lengths(model, rng):
+    import jax.numpy as jnp
+
+    from sherpa_vietnamese_asr_tpu.models.zipformer import zipformer_encoder
+
+    cfg, params = model
+    x = rng.standard_normal((2, 107, 80)).astype(np.float32)
+    lens = np.array([107, 55], dtype=np.int32)
+    out, out_lens = zipformer_encoder(params, jnp.asarray(x),
+                                      jnp.asarray(lens), cfg)
+    t_embed = (107 - 7) // 2  # 50
+    assert out.shape == (2, (t_embed + 1) // 2, cfg.output_dim)
+    assert int(out_lens[0]) == (50 + 1) // 2
+    assert int(out_lens[1]) == (((55 - 7) // 2) + 1) // 2
+    assert cfg.output_length(107) == int(out_lens[0])
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_padding_invariance(model, rng):
+    """Extra padding frames must not change valid outputs (masking works)."""
+    import jax.numpy as jnp
+
+    from sherpa_vietnamese_asr_tpu.models.zipformer import zipformer_encoder
+
+    cfg, params = model
+    t_short = 87
+    x = rng.standard_normal((1, t_short, 80)).astype(np.float32)
+    x_padded = np.concatenate(
+        [x, rng.standard_normal((1, 40, 80)).astype(np.float32)], axis=1)
+    out_a, lens_a = zipformer_encoder(params, jnp.asarray(x),
+                                      jnp.asarray(np.array([t_short])), cfg)
+    out_b, lens_b = zipformer_encoder(params, jnp.asarray(x_padded),
+                                      jnp.asarray(np.array([t_short])), cfg)
+    n = int(lens_a[0])
+    assert int(lens_b[0]) == n
+    np.testing.assert_allclose(np.asarray(out_a)[0, :n],
+                               np.asarray(out_b)[0, :n], atol=2e-4)
+
+
+def test_param_counts_are_in_expected_range():
+    import jax
+
+    from sherpa_vietnamese_asr_tpu.models import zipformer as z
+
+    p30 = z.init_zipformer_params(jax.random.PRNGKey(0), z.ZIPFORMER_30M)
+    n30 = z.count_params(p30)
+    # Zipformer-30M encoder: ~20-35M params (joiner/decoder excluded)
+    assert 15e6 < n30 < 40e6, n30
+    p68 = z.init_zipformer_params(jax.random.PRNGKey(0), z.ZIPFORMER_68M)
+    n68 = z.count_params(p68)
+    assert 45e6 < n68 < 80e6, n68
+    assert n68 > n30
+
+
+def test_batch_independence(model, rng):
+    import jax.numpy as jnp
+
+    from sherpa_vietnamese_asr_tpu.models.zipformer import zipformer_encoder
+
+    cfg, params = model
+    x = rng.standard_normal((3, 71, 80)).astype(np.float32)
+    lens = np.array([71, 71, 71], dtype=np.int32)
+    out, _ = zipformer_encoder(params, jnp.asarray(x), jnp.asarray(lens), cfg)
+    out0, _ = zipformer_encoder(params, jnp.asarray(x[:1]),
+                                jnp.asarray(lens[:1]), cfg)
+    np.testing.assert_allclose(np.asarray(out)[0], np.asarray(out0)[0],
+                               atol=2e-4)
