@@ -1,0 +1,81 @@
+# Benchmark: long-form ASR throughput on one TPU chip.
+#
+# Measures the flagship pipeline compute path (Kaldi fbank via the fused
+# Pallas kernel -> Zipformer-30M encoder -> batched modified beam search,
+# beam 8) over synthetic 30 s chunks, steady state, and reports RTFx =
+# audio-seconds transcribed per wall-second per chip.
+#
+# Baseline (BASELINE.md): the reference transcribes 1 h in 77.1 s on a
+# 6C/12T CPU with its 2-worker pool => 46.7x realtime. vs_baseline is the
+# ratio of our RTFx to that number. North star: >= 50x per chip.
+#
+# Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from sherpa_vietnamese_asr_tpu.models.registry import random_asr_model
+    from sherpa_vietnamese_asr_tpu.pipeline.decoder import decode_batch_jit
+
+    backend = jax.default_backend()
+    on_tpu = backend not in ("cpu",)
+
+    chunk_sec = 30.0
+    batch = 8 if on_tpu else 2
+    n_batches = 5 if on_tpu else 1
+    sr = 16000
+    n = int(chunk_sec * sr)
+
+    model = random_asr_model(vocab_size=2000, beam_size=8)
+    rng = np.random.default_rng(0)
+    # Speech-shaped synthetic audio (AM tones + noise); a distinct batch per
+    # iteration so no caching layer can elide work.
+    t = np.arange(n) / sr
+    base = (0.3 * np.sin(2 * np.pi * 220 * t)
+            * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)
+    batches = [
+        jnp.asarray(np.stack([
+            base + 0.05 * rng.standard_normal(n).astype(np.float32)
+            for _ in range(batch)]))
+        for _ in range(n_batches + 1)]
+    lens = jnp.asarray(np.full((batch,), n, np.int32))
+
+    def step(audio):
+        result, enc_lens = decode_batch_jit(
+            audio, lens, model.enc_params, model.dec_params,
+            model.joi_params, model.zip_cfg, model.rnnt_cfg, model.beam_size,
+            use_pallas_fbank=on_tpu)
+        # Materialize on host — robust barrier on experimental backends.
+        return int(np.asarray(result.num_tokens).sum())
+
+    step(batches[0])  # warmup / compile
+
+    t0 = time.perf_counter()
+    total_tokens = 0
+    for i in range(n_batches):
+        total_tokens += step(batches[i + 1])
+    dt = time.perf_counter() - t0
+    assert total_tokens > 0
+
+    audio_seconds = chunk_sec * batch * n_batches
+    rtfx = audio_seconds / dt
+    baseline_rtfx = 3600.0 / 77.1  # reference: 1 h in 77.1 s (BASELINE.md)
+    print(json.dumps({
+        "metric": "rtfx_zipformer30m_beam8_per_chip",
+        "value": round(rtfx, 2),
+        "unit": "audio_sec/wall_sec",
+        "vs_baseline": round(rtfx / baseline_rtfx, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

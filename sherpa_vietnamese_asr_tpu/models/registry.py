@@ -1,0 +1,133 @@
+# Model bundles: configs + parameters + tokens for one ASR model, and the
+# registry of reference model families.
+#
+# Mirrors the reference's create_recognizer bundle (reference
+# core/asr_engine.py:903-1020: ORT sessions + tokens.txt + context graph);
+# here a bundle is a pytree of JAX parameters plus host-side vocab, loadable
+# from ONNX checkpoints (models/onnx_import.py) or random-initialized at the
+# true architecture sizes for tests and benchmarks.
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+from sherpa_vietnamese_asr_tpu.models.rnnt import (
+    RnntConfig,
+    init_decoder_params,
+    init_joiner_params,
+)
+from sherpa_vietnamese_asr_tpu.models.zipformer import (
+    ZIPFORMER_30M,
+    ZIPFORMER_68M,
+    ZipformerConfig,
+    init_zipformer_params,
+)
+
+# Reference model registry (reference core/config.py:223-260 and
+# build-portable/prepare_offline_build.py): the two RNN-T families.
+MODEL_30M = "zipformer-30m-rnnt-6000h"
+MODEL_68M = "sherpa-onnx-zipformer-vi-2025-04-20"
+ROVER_MODEL_IDS = [MODEL_30M, MODEL_68M]
+ROVER_MODEL_ID = "rover-voting"
+
+
+@dataclasses.dataclass
+class AsrModel:
+    name: str
+    zip_cfg: ZipformerConfig
+    rnnt_cfg: RnntConfig
+    enc_params: Any
+    dec_params: Any
+    joi_params: Any
+    id2token: list  # token id -> BPE piece string
+    hotword_tables: Any = None  # ops.beam_search.HotwordTables | None
+    beam_size: int = 8
+
+
+def load_tokens(path: str) -> list:
+    """Parse a sherpa-onnx tokens.txt ('piece id' per line) into a list."""
+    pairs = []
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip("\n").split()
+            if len(parts) >= 2:
+                pairs.append((int(parts[-1]), parts[0]))
+    vocab = [""] * (max(i for i, _ in pairs) + 1)
+    for i, tok in pairs:
+        vocab[i] = tok
+    return vocab
+
+
+def synthetic_vocab(vocab_size: int, seed: int = 0) -> list:
+    """Synthetic BPE-like vocab for tests/bench: ids 0/1/2 are
+    <blk>/<sos/eos>/<unk>; ~60% of pieces start a word (U+2581 prefix)."""
+    rng = np.random.default_rng(seed)
+    letters = "aeiouybcdghklmnpqrstvx"
+    vocab = ["<blk>", "<sos/eos>", "<unk>"]
+    for i in range(3, vocab_size):
+        n = int(rng.integers(1, 4))
+        piece = "".join(rng.choice(list(letters)) for _ in range(n))
+        if rng.random() < 0.6:
+            piece = "▁" + piece
+        vocab.append(piece)
+    return vocab
+
+
+TINY_ZIPFORMER = ZipformerConfig(
+    num_encoder_layers=(1, 1, 1), downsampling_factor=(1, 2, 4),
+    encoder_dim=(64, 96, 96), ffn_dim=(96, 128, 128), num_heads=(2, 2, 2),
+    cnn_module_kernel=(15, 15, 7), query_head_dim=16, pos_head_dim=4,
+    value_head_dim=8, pos_dim=16,
+)
+
+
+def random_asr_model(name: str = MODEL_30M, vocab_size: int = 2000,
+                     seed: int = 0, beam_size: int = 8,
+                     compute_dtype: str = "float32",
+                     zip_cfg: ZipformerConfig | None = None) -> AsrModel:
+    """Random-weight model at the true architecture sizes (no checkpoints in
+    this environment; the ONNX importer fills real weights when present).
+    Pass zip_cfg=TINY_ZIPFORMER for fast CPU tests."""
+    if zip_cfg is not None:
+        zcfg = zip_cfg
+    else:
+        zcfg = ZIPFORMER_68M if name == MODEL_68M else ZIPFORMER_30M
+    zcfg = dataclasses.replace(zcfg, compute_dtype=compute_dtype)
+    dec_dim = 512 if zip_cfg is None else 128
+    rcfg = RnntConfig(vocab_size=vocab_size, encoder_out_dim=zcfg.output_dim,
+                      decoder_dim=dec_dim, joiner_dim=dec_dim)
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    return AsrModel(
+        name=name,
+        zip_cfg=zcfg,
+        rnnt_cfg=rcfg,
+        enc_params=init_zipformer_params(k1, zcfg),
+        dec_params=init_decoder_params(k2, rcfg),
+        joi_params=init_joiner_params(k3, rcfg),
+        id2token=synthetic_vocab(vocab_size, seed),
+        beam_size=beam_size,
+    )
+
+
+def load_asr_model(model_dir: str, beam_size: int = 8,
+                   compute_dtype: str = "float32") -> AsrModel:
+    """Load a model bundle from a sherpa-onnx style directory
+    (encoder-*.onnx / decoder-*.onnx / joiner-*.onnx / tokens.txt)."""
+    from sherpa_vietnamese_asr_tpu.models import onnx_import
+
+    tokens_path = os.path.join(model_dir, "tokens.txt")
+    id2token = load_tokens(tokens_path)
+    name = os.path.basename(os.path.normpath(model_dir))
+    zcfg = ZIPFORMER_68M if "2025-04-20" in name else ZIPFORMER_30M
+    zcfg = dataclasses.replace(zcfg, compute_dtype=compute_dtype)
+    rcfg = RnntConfig(vocab_size=len(id2token), encoder_out_dim=zcfg.output_dim)
+    enc, dec, joi = onnx_import.load_zipformer_rnnt(model_dir, zcfg, rcfg)
+    return AsrModel(name=name, zip_cfg=zcfg, rnnt_cfg=rcfg, enc_params=enc,
+                    dec_params=dec, joi_params=joi, id2token=id2token,
+                    beam_size=beam_size)

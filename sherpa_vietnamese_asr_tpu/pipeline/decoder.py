@@ -1,0 +1,121 @@
+# Batched chunk decoder: fixed-shape jitted program fbank -> Zipformer ->
+# beam search for a whole batch of ~30 s chunks at once.
+#
+# This replaces the reference's per-chunk sequential decode through ORT with a
+# 2-thread worker pool (reference core/asr_engine.py:2250-2415, measured
+# 1.68x on 6C/12T CPU): on TPU every chunk in the batch runs the encoder and
+# the beam-search scan concurrently on the MXU — parallelism scales with the
+# batch instead of host threads. Chunks are zero-padded to one static length
+# (33 s = 30 s + 3 s overlap) so the program compiles once; fbank tail frames
+# are made bit-equal to exact-length runs by reflect-filling each chunk's tail
+# (Kaldi snip_edges=False reflection) before padding.
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sherpa_vietnamese_asr_tpu.models.registry import AsrModel
+from sherpa_vietnamese_asr_tpu.models.zipformer import zipformer_encoder
+from sherpa_vietnamese_asr_tpu.ops import fbank as fbank_ops
+from sherpa_vietnamese_asr_tpu.ops.beam_search import beam_search_batch
+from sherpa_vietnamese_asr_tpu.pipeline.words import beam_result_to_words
+from sherpa_vietnamese_asr_tpu.utils.fbank_ref import ASR_FBANK, num_frames
+
+SAMPLE_RATE = 16000
+CHUNK_PAD_SEC = 33.0  # 30 s chunk + 3 s overlap
+REFLECT_FILL = 400    # samples of tail reflection for fbank bit-parity
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("zip_cfg", "rnnt_cfg", "beam_size", "with_hotwords",
+                     "use_pallas_fbank"),
+)
+def decode_batch_jit(audio, audio_lens, enc_params, dec_params, joi_params,
+                     zip_cfg, rnnt_cfg, beam_size, hw_tables=None,
+                     with_hotwords=False, use_pallas_fbank=False):
+    """[B, L] padded audio -> (BeamResult, enc_lens). One compiled program."""
+    feats = fbank_ops.compute_fbank(audio, ASR_FBANK,
+                                    use_pallas=use_pallas_fbank)
+    n_frames = (audio_lens + 80) // 160  # snip_edges=False frame count
+    enc_out, enc_lens = zipformer_encoder(enc_params, feats, n_frames, zip_cfg)
+    result = beam_search_batch(enc_out, enc_lens, dec_params, joi_params,
+                               rnnt_cfg, beam_size=beam_size,
+                               hw_tables=hw_tables,
+                               with_hotwords=with_hotwords)
+    return result, enc_lens
+
+
+class BatchedChunkDecoder:
+    """Decode chunk plans over concat audio in fixed-size device batches."""
+
+    def __init__(self, model: AsrModel, max_batch: int = 8,
+                 chunk_pad_sec: float = CHUNK_PAD_SEC,
+                 use_pallas_fbank: bool | None = None):
+        self.model = model
+        self.max_batch = max_batch
+        self.pad_len = int(chunk_pad_sec * SAMPLE_RATE)
+        if use_pallas_fbank is None:
+            use_pallas_fbank = jax.default_backend() not in ("cpu",)
+        self.use_pallas_fbank = use_pallas_fbank
+
+    def _build_batch(self, concat_audio, spans):
+        """spans: [(start, end)] -> (audio [B, pad_len], lens [B])."""
+        b = len(spans)
+        batch = np.zeros((b, self.pad_len), dtype=np.float32)
+        lens = np.zeros((b,), dtype=np.int32)
+        for i, (s, e) in enumerate(spans):
+            n = min(e - s, self.pad_len)
+            batch[i, :n] = concat_audio[s: s + n]
+            lens[i] = n
+            # Reflect-fill the tail so snip_edges=False frames near the end
+            # match an exact-length fbank (utils/fbank_ref.reflect_index).
+            fill = min(REFLECT_FILL, n, self.pad_len - n)
+            if fill > 0:
+                batch[i, n: n + fill] = batch[i, n - fill: n][::-1]
+        return batch, lens
+
+    def decode_spans(self, concat_audio, spans, progress_callback=None,
+                     phase="Transcription", cancel_check=None):
+        """Decode [(start, end)] sample spans; returns per-span word lists
+        with local (chunk-relative) timestamps offset by start/16000."""
+        model = self.model
+        out = []
+        total = len(spans)
+        for base in range(0, total, self.max_batch):
+            if cancel_check is not None and cancel_check():
+                raise RuntimeError("Cancelled by user")
+            group = spans[base: base + self.max_batch]
+            # Keep the batch dimension static: pad the last group.
+            padded_group = list(group) + [(0, 1)] * (self.max_batch - len(group))
+            audio, lens = self._build_batch(concat_audio, padded_group)
+            result, enc_lens = decode_batch_jit(
+                jnp.asarray(audio), jnp.asarray(lens),
+                model.enc_params, model.dec_params, model.joi_params,
+                model.zip_cfg, model.rnnt_cfg, model.beam_size,
+                hw_tables=model.hotword_tables,
+                with_hotwords=model.hotword_tables is not None,
+                use_pallas_fbank=self.use_pallas_fbank,
+            )
+            tokens = np.asarray(result.tokens)
+            frames = np.asarray(result.frames)
+            tok_logp = np.asarray(result.tok_logp)
+            entropy = np.asarray(result.entropy)
+            num_tokens = np.asarray(result.num_tokens)
+            enc_lens_np = np.asarray(enc_lens)
+            for i, (s, e) in enumerate(group):
+                dur = (e - s) / SAMPLE_RATE
+                words = beam_result_to_words(
+                    tokens[i], frames[i], tok_logp[i], entropy[i],
+                    num_tokens[i], enc_lens_np[i], model.id2token, dur,
+                    time_offset=s / SAMPLE_RATE)
+                out.append(words)
+            if progress_callback:
+                done = min(base + self.max_batch, total)
+                progress_callback(
+                    f"PHASE:{phase}|Decoding chunks|{done * 100 // total}")
+        return out

@@ -1,0 +1,263 @@
+# TranscriberPipeline — the batch transcription entry point.
+#
+# Public-API parity with the reference's TranscriberPipeline
+# (reference core/asr_engine.py:1877-3459): same constructor shape
+# (file_path, model, config, progress_callback, cancel_check), same PHASE
+# progress protocol (asr_engine.py:1904-1928), same result_data contract
+# (asr_engine.py:3434-3452). The execution model differs by design: every
+# model stage runs as a batched, jitted XLA program on TPU (chunks decoded as
+# one padded batch instead of a 2-thread CPU worker pool).
+#
+# Stage order (asr_engine.py:1964-3459):
+#   load audio -> VAD -> [preprocess] -> merge VAD gaps -> concat speech ->
+#   silence-aware 30s/3s chunk plan -> batched decode [-> ROVER] ->
+#   overlap merge -> [DNSMOS] -> suspect detect -> filler removal ->
+#   [diarization] -> [punctuation/alignment] -> split long segments -> result.
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from sherpa_vietnamese_asr_tpu.models.registry import AsrModel
+from sherpa_vietnamese_asr_tpu.pipeline import chunking, vad as vad_mod
+from sherpa_vietnamese_asr_tpu.pipeline.decoder import BatchedChunkDecoder
+from sherpa_vietnamese_asr_tpu.pipeline.merge import (
+    merge_chunks_with_overlap,
+    split_long_segments,
+)
+from sherpa_vietnamese_asr_tpu.pipeline.suspect import (
+    remove_filler_words,
+    suspect_detect,
+)
+from sherpa_vietnamese_asr_tpu.utils.audio_io import load_audio
+
+SAMPLE_RATE = 16000
+
+
+def segment_words_by_pause(all_words, max_words=15, pause_sec=0.8):
+    """Pause-based segmentation used when punctuation is off or failed
+    (reference asr_engine.py:3338-3408): close a segment on a >0.8 s gap or
+    after 15 words; segments carry their raw_words slice."""
+    segments = []
+    cur, start, start_idx = [], -1.0, 0
+    for i, w in enumerate(all_words):
+        if start < 0:
+            start, start_idx = w["start"], i
+        cur.append(w["text"])
+        pause = (i < len(all_words) - 1
+                 and all_words[i + 1]["start"] - w["end"] > pause_sec)
+        if pause or len(cur) > max_words:
+            segments.append({"text": " ".join(cur).strip(), "start": start,
+                             "end": w["end"],
+                             "raw_words": all_words[start_idx: i + 1]})
+            cur, start = [], -1.0
+    if cur:
+        segments.append({"text": " ".join(cur).strip(), "start": start,
+                         "end": all_words[-1]["end"],
+                         "raw_words": all_words[start_idx:]})
+    return segments
+
+
+def fix_overlapping_segments(segments):
+    """Clip each segment's end (and raw_words times) to the next segment's
+    start (asr_engine.py:3303-3314)."""
+    for i in range(len(segments) - 1):
+        nxt = segments[i + 1]["start"]
+        if segments[i]["end"] > nxt:
+            segments[i]["end"] = nxt
+        for w in segments[i].get("raw_words", []):
+            if w["end"] > nxt:
+                w["end"] = nxt
+            if w["start"] > nxt:
+                w["start"] = nxt
+    return segments
+
+
+class TranscriberPipeline:
+    """Offline long-form transcription pipeline (TPU-native).
+
+    Args:
+        file_path: audio file (WAV natively; others via ffmpeg if present).
+        model: AsrModel bundle (or [model_a, model_b] for ROVER later).
+        config: dict — supported keys (reference asr_engine.py:1979-2012):
+            bypass_vad, skip_preprocessing, preprocess_rms_normalize,
+            max_batch, save_ram (accepted, no-op on TPU), rover_mode (later),
+            speaker_diarization (later), restore_punctuation (later).
+        progress_callback: callable(str) receiving "PHASE:<Name>|<msg>|<pct>".
+        cancel_check: callable() -> bool.
+    """
+
+    def __init__(self, file_path, model: AsrModel, config=None,
+                 progress_callback=None, cancel_check=None,
+                 vad_prob_fn=None):
+        self.file_path = file_path
+        self.model = model
+        self.config = dict(config or {})
+        self.progress_callback = progress_callback
+        self.cancel_check = cancel_check
+        self.vad_prob_fn = vad_prob_fn  # callable(audio)->probs, or None
+        self._phase_file = str(file_path) + ".asr_phase"
+
+    # -- progress protocol (asr_engine.py:1904-1928) --
+    def _emit(self, message: str):
+        if self.progress_callback:
+            self.progress_callback(message)
+        if message.startswith("PHASE:"):
+            try:
+                with open(self._phase_file, "w", encoding="utf-8") as f:
+                    f.write(message)
+            except OSError:
+                pass
+
+    def _cancelled(self):
+        return self.cancel_check is not None and self.cancel_check()
+
+    def run(self):
+        t0 = time.time()
+        timing = {"upload_convert": 0.0, "transcription": 0.0,
+                  "sentence_segmentation": 0.0, "punctuation": 0.0,
+                  "alignment": 0.0, "diarization": 0.0, "quality": 0.0,
+                  "preprocessing": 0.0, "vad": 0.0}
+        try:
+            result = self._run(t0, timing)
+        finally:
+            try:
+                os.remove(self._phase_file)
+            except OSError:
+                pass
+        return result
+
+    def _run(self, t0, timing):
+        self._emit("PHASE:LoadAudio|Loading audio|0")
+        audio = load_audio(self.file_path, SAMPLE_RATE,
+                           progress_callback=self._emit)
+        total_samples = len(audio)
+        if self._cancelled():
+            return None
+
+        # ---- VAD -> concat -> chunk plan ----
+        t_vad = time.time()
+        vad_probs = None
+        try:
+            if self.config.get("bypass_vad", False):
+                raise RuntimeError("VAD_BYPASSED_BY_USER")
+            prob_fn = self.vad_prob_fn or self._default_vad_prob_fn()
+            self._emit("PHASE:VAD|Detecting speech|0")
+
+            def cached_prob_fn(a):
+                nonlocal vad_probs
+                vad_probs = np.asarray(prob_fn(a))
+                return vad_probs
+
+            segs = vad_mod.get_vad_segments(audio, cached_prob_fn,
+                                            progress_callback=self._emit)
+            self._emit(f"PHASE:VAD|Found {len(segs)} speech segments|100")
+            segs = chunking.merge_vad_gaps(segs)
+            concat_audio, offset_map = vad_mod.concat_speech(audio, segs)
+        except Exception as e:
+            if str(e) != "VAD_BYPASSED_BY_USER":
+                self._emit(f"PHASE:LoadAudio|VAD failed ({e}); "
+                           "silence-based chunking|60")
+            concat_audio = audio
+            offset_map = [(0, 0, total_samples)]
+        timing["vad"] = time.time() - t_vad
+        if self._cancelled():
+            return None
+
+        silent = chunking.find_silent_regions(concat_audio)
+        plan = chunking.plan_chunks(len(concat_audio), silent)
+
+        # ---- Batched decode ----
+        t_dec = time.time()
+        self._emit("PHASE:Transcription|Transcribing|0")
+        decoder = BatchedChunkDecoder(
+            self.model, max_batch=int(self.config.get("max_batch", 8)))
+        spans = [(s, e) for s, e, _ in plan]
+        chunk_words = decoder.decode_spans(
+            concat_audio, spans, progress_callback=self._emit,
+            cancel_check=self.cancel_check)
+
+        chunk_results = []
+        for (s, e, ov), words in zip(plan, chunk_words):
+            for w in words:
+                w["start"] = vad_mod.map_concat_time(w["start"], offset_map)
+                w["end"] = vad_mod.map_concat_time(w["end"], offset_map)
+            chunk_results.append({
+                "text": " ".join(w["text"] for w in words),
+                "words": words,
+                "audio_start_abs": s / SAMPLE_RATE,
+                "audio_end_abs": e / SAMPLE_RATE,
+                "overlap_sec": ov / SAMPLE_RATE,
+            })
+        timing["transcription"] = time.time() - t_dec
+        if self._cancelled():
+            return None
+
+        # ---- Merge overlaps, suspects, fillers ----
+        all_words, full_text = merge_chunks_with_overlap(chunk_results)
+        all_words = suspect_detect(all_words, audio, disagree_indices=None,
+                                   vad_probs=vad_probs)
+        all_words = remove_filler_words(all_words)
+        full_text = " ".join(w["text"] for w in all_words)
+
+        # ---- Segmentation (pause-based until punctuation stage lands) ----
+        t_align = time.time()
+        self._emit("PHASE:Align|Aligning timestamps|0")
+        final_segments = segment_words_by_pause(all_words)
+        final_segments = fix_overlapping_segments(final_segments)
+        final_segments = split_long_segments(final_segments, max_duration=12.0,
+                                             preserve_raw_words=True)
+        timing["alignment"] = time.time() - t_align
+        self._emit("PHASE:Align|Done|100")
+
+        self._emit("PHASE:Complete|Done|100")
+        total = time.time() - t0
+        word_probs = [w.get("prob") for w in all_words
+                      if w.get("prob") is not None]
+        result_data = {
+            "text": full_text,
+            "segments": final_segments,
+            "timing": {
+                "transcription": timing["transcription"],
+                "restoration": timing["punctuation"],
+                "total": total,
+                "upload_convert": timing["upload_convert"],
+                "transcription_detail": timing["transcription"],
+                "sentence_segmentation": timing["sentence_segmentation"],
+                "punctuation": timing["punctuation"],
+                "alignment": timing["alignment"],
+                "diarization": timing["diarization"],
+                "quality": timing["quality"],
+            },
+            "paragraphs": [],
+            "has_speaker_diarization": False,
+            "speaker_segments_raw": [],
+            "duration_sec": total_samples / SAMPLE_RATE,
+            "speaker_names": {},
+            "asr_confidence": (float(np.mean(word_probs))
+                               if word_probs else None),
+            "quality_info": None,
+            "execution_provider": "tpu",
+            "stage_execution_providers": {},
+            "asr_provider_info": {"backend": "jax", "device": "tpu"},
+            "overlap_segments": [],
+        }
+        return result_data
+
+    def _default_vad_prob_fn(self):
+        """Silero-style VAD on device; random weights until ONNX import."""
+        import jax
+
+        from sherpa_vietnamese_asr_tpu.models import silero_vad
+
+        params = silero_vad.init_silero_params(jax.random.PRNGKey(0))
+
+        def prob_fn(a):
+            import jax.numpy as jnp
+            return np.asarray(
+                silero_vad.silero_vad_probs(params, jnp.asarray(a)))
+
+        return prob_fn

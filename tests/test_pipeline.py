@@ -1,0 +1,175 @@
+# End-to-end pipeline tests on synthetic audio with a tiny random model.
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    from sherpa_vietnamese_asr_tpu.models.registry import (
+        TINY_ZIPFORMER, random_asr_model,
+    )
+    return random_asr_model(vocab_size=80, zip_cfg=TINY_ZIPFORMER,
+                            beam_size=4)
+
+
+@pytest.fixture()
+def wav_file(tmp_path, rng):
+    from sherpa_vietnamese_asr_tpu.utils.audio_io import write_wav
+    sr = 16000
+    t = np.arange(sr * 4) / sr
+    x = (0.3 * np.sin(2 * np.pi * 300 * t)
+         * (0.5 + 0.5 * np.sin(2 * np.pi * 2.5 * t))
+         + 0.02 * rng.standard_normal(len(t))).astype(np.float32)
+    # Insert a silent region in the middle
+    x[sr : int(1.5 * sr)] = 0.0
+    path = tmp_path / "test.wav"
+    write_wav(str(path), x, sr)
+    return str(path), x
+
+
+def test_wav_roundtrip(tmp_path, rng):
+    from sherpa_vietnamese_asr_tpu.utils.audio_io import read_wav, write_wav
+    x = np.clip(rng.standard_normal(16000) * 0.3, -0.99, 0.99).astype(np.float32)
+    p = tmp_path / "rt.wav"
+    write_wav(str(p), x)
+    y, sr = read_wav(str(p))
+    assert sr == 16000 and y.shape == (16000, 1)
+    np.testing.assert_allclose(y[:, 0], x, atol=1.0 / 16000)
+
+
+def test_resample_preserves_tone(rng):
+    from sherpa_vietnamese_asr_tpu.utils.audio_io import resample_poly
+    sr_in, sr_out = 44100, 16000
+    t = np.arange(sr_in) / sr_in
+    x = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    y = resample_poly(x, sr_in, sr_out)
+    assert abs(len(y) - sr_out) <= 2
+    # Dominant frequency must stay at 440 Hz
+    spec = np.abs(np.fft.rfft(y[1000:-1000] * np.hanning(len(y) - 2000)))
+    freq = np.fft.rfftfreq(len(y) - 2000, 1.0 / sr_out)
+    assert abs(freq[spec.argmax()] - 440) < 5
+
+
+def test_vad_segmentation_logic():
+    from sherpa_vietnamese_asr_tpu.pipeline.vad import probs_to_segments
+    # 100 windows: speech at [10, 40), [60, 90)
+    probs = np.zeros(100, np.float32)
+    probs[10:40] = 0.9
+    probs[60:90] = 0.9
+    segs = probs_to_segments(probs, threshold=0.5, min_silence_ms=300,
+                             min_speech_ms=250)
+    assert segs == [(10, 40), (60, 90)]
+    # short blip below min_speech dropped
+    probs2 = np.zeros(100, np.float32)
+    probs2[50:53] = 0.9
+    assert probs_to_segments(probs2, threshold=0.5, min_speech_ms=250) == []
+
+
+def test_get_vad_segments_fallback_and_boost():
+    from sherpa_vietnamese_asr_tpu.pipeline.vad import get_vad_segments
+    audio = np.zeros(16000, np.float32)
+    audio[:8000] = 0.01  # quiet
+    seen_peaks = []
+
+    def prob_fn(a):
+        seen_peaks.append(float(np.max(np.abs(a))))
+        return np.zeros(len(a) // 512, np.float32)
+
+    segs = get_vad_segments(audio, prob_fn, fallback_full=True)
+    assert segs == [(0, 16000)]  # fallback to full audio
+    assert seen_peaks[0] > 0.05  # auto-boost was applied to the VAD copy
+
+
+def test_chunk_plan_structure():
+    from sherpa_vietnamese_asr_tpu.pipeline.chunking import plan_chunks
+    total = 16000 * 95  # 95 s
+    plan = plan_chunks(total, [])
+    assert plan[0][2] == 0
+    assert all(ov == 3 * 16000 for _, _, ov in plan[1:])
+    assert plan[-1][1] == total
+    # contiguous logical coverage
+    for i in range(1, len(plan)):
+        assert plan[i][0] + plan[i][2] == plan[i - 1][1]
+
+
+def test_transcriber_end_to_end(tiny_model, wav_file):
+    from sherpa_vietnamese_asr_tpu.pipeline.transcriber import (
+        TranscriberPipeline,
+    )
+    path, audio = wav_file
+    phases = []
+
+    def vad_prob_fn(a):
+        # Deterministic synthetic VAD: energy-based
+        n = len(a) // 512
+        w = a[: n * 512].reshape(n, 512)
+        rms = np.sqrt((w ** 2).mean(axis=1))
+        return (rms > 0.01).astype(np.float32)
+
+    pipe = TranscriberPipeline(path, tiny_model, config={"max_batch": 2},
+                               progress_callback=phases.append,
+                               vad_prob_fn=vad_prob_fn)
+    result = pipe.run()
+    assert result is not None
+    assert set(result) >= {"text", "segments", "timing", "duration_sec",
+                           "asr_confidence", "overlap_segments"}
+    assert abs(result["duration_sec"] - 4.0) < 0.01
+    assert any(p.startswith("PHASE:Transcription") for p in phases)
+    assert any(p.startswith("PHASE:Complete") for p in phases)
+    # random weights still emit tokens; check structure
+    for seg in result["segments"]:
+        assert seg["end"] >= seg["start"]
+        for w in seg.get("raw_words", []):
+            assert "prob" in w
+
+
+def test_transcriber_cancel(tiny_model, wav_file):
+    from sherpa_vietnamese_asr_tpu.pipeline.transcriber import (
+        TranscriberPipeline,
+    )
+    path, _ = wav_file
+    pipe = TranscriberPipeline(path, tiny_model, cancel_check=lambda: True)
+    assert pipe.run() is None
+
+
+def test_split_long_segments_behavior():
+    from sherpa_vietnamese_asr_tpu.pipeline.merge import split_long_segments
+    words = " ".join(f"w{i}" for i in range(30))
+    segs = [{"text": words, "start": 0.0, "end": 30.0}]
+    out = split_long_segments(segs, max_duration=12.0)
+    assert len(out) == 3  # 30 s -> 3 parts
+    assert out[0]["start"] == 0.0 and abs(out[-1]["end"] - 30.0) < 1e-6
+    total_words = sum(len(s["text"].split()) for s in out)
+    assert total_words == 30
+    # under-limit segments untouched
+    assert split_long_segments([{"text": "a b", "start": 0, "end": 5.0}],
+                               12.0) == [{"text": "a b", "start": 0,
+                                          "end": 5.0}]
+
+
+def test_merge_chunks_with_overlap_dedup():
+    from sherpa_vietnamese_asr_tpu.pipeline.merge import (
+        merge_chunks_with_overlap,
+    )
+
+    def mk(texts, t0, local0=0.0, prob=0.9):
+        out = []
+        t = t0
+        lt = local0
+        for txt in texts.split():
+            out.append({"text": txt, "start": t, "end": t + 0.2,
+                        "local_start": lt, "local_end": lt + 0.2,
+                        "prob": prob})
+            t += 0.3
+            lt += 0.3
+        return out
+
+    # chunk 1: 0-30 s; chunk 2: 27-60 s with 3 s overlap; head repeats tail
+    c1 = {"words": mk("xin chao viet nam hom nay troi dep", 27.0,
+                      local0=27.0),
+          "audio_start_abs": 0.0, "audio_end_abs": 30.0, "overlap_sec": 0.0}
+    c2 = {"words": mk("hom nay troi dep va mat me", 27.9, local0=0.9),
+          "audio_start_abs": 27.0, "audio_end_abs": 60.0, "overlap_sec": 3.0}
+    merged, text = merge_chunks_with_overlap([c1, c2])
+    assert text.split().count("dep") == 1  # overlap deduplicated
+    assert "mat" in text and "xin" in text
