@@ -30,6 +30,29 @@ CHUNK_PAD_SEC = 33.0  # 30 s chunk + 3 s overlap
 REFLECT_FILL = 400    # samples of tail reflection for fbank bit-parity
 
 
+@functools.partial(jax.jit, static_argnames=("use_pallas_fbank",))
+def fbank_batch_jit(audio, use_pallas_fbank=False):
+    """[B, L] -> [B, F, 80] ASR fbank (shared by ROVER's two decodes)."""
+    return fbank_ops.compute_fbank(audio, ASR_FBANK,
+                                   use_pallas=use_pallas_fbank)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("zip_cfg", "rnnt_cfg", "beam_size", "with_hotwords"),
+)
+def decode_feats_jit(feats, n_frames, enc_params, dec_params, joi_params,
+                     zip_cfg, rnnt_cfg, beam_size, hw_tables=None,
+                     with_hotwords=False):
+    """[B, F, 80] fbank -> (BeamResult, enc_lens)."""
+    enc_out, enc_lens = zipformer_encoder(enc_params, feats, n_frames, zip_cfg)
+    result = beam_search_batch(enc_out, enc_lens, dec_params, joi_params,
+                               rnnt_cfg, beam_size=beam_size,
+                               hw_tables=hw_tables,
+                               with_hotwords=with_hotwords)
+    return result, enc_lens
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("zip_cfg", "rnnt_cfg", "beam_size", "with_hotwords",
@@ -51,12 +74,18 @@ def decode_batch_jit(audio, audio_lens, enc_params, dec_params, joi_params,
 
 
 class BatchedChunkDecoder:
-    """Decode chunk plans over concat audio in fixed-size device batches."""
+    """Decode chunk plans over concat audio in fixed-size device batches.
+
+    With model_b set (ROVER mode, reference asr_engine.py:2416-2452) the
+    fbank batch is computed once and both models decode it.
+    """
 
     def __init__(self, model: AsrModel, max_batch: int = 8,
                  chunk_pad_sec: float = CHUNK_PAD_SEC,
-                 use_pallas_fbank: bool | None = None):
+                 use_pallas_fbank: bool | None = None,
+                 model_b: AsrModel | None = None):
         self.model = model
+        self.model_b = model_b
         self.max_batch = max_batch
         self.pad_len = int(chunk_pad_sec * SAMPLE_RATE)
         if use_pallas_fbank is None:
@@ -79,12 +108,31 @@ class BatchedChunkDecoder:
                 batch[i, n: n + fill] = batch[i, n - fill: n][::-1]
         return batch, lens
 
+    def _words_from_result(self, result, enc_lens, group, model):
+        tokens = np.asarray(result.tokens)
+        frames = np.asarray(result.frames)
+        tok_logp = np.asarray(result.tok_logp)
+        entropy = np.asarray(result.entropy)
+        num_tokens = np.asarray(result.num_tokens)
+        enc_lens_np = np.asarray(enc_lens)
+        out = []
+        for i, (s, e) in enumerate(group):
+            dur = (e - s) / SAMPLE_RATE
+            out.append(beam_result_to_words(
+                tokens[i], frames[i], tok_logp[i], entropy[i],
+                num_tokens[i], enc_lens_np[i], model.id2token, dur,
+                time_offset=s / SAMPLE_RATE))
+        return out
+
     def decode_spans(self, concat_audio, spans, progress_callback=None,
                      phase="Transcription", cancel_check=None):
-        """Decode [(start, end)] sample spans; returns per-span word lists
-        with local (chunk-relative) timestamps offset by start/16000."""
-        model = self.model
-        out = []
+        """Decode [(start, end)] sample spans.
+
+        Returns per-span word lists (timestamps offset by start/16000).
+        In ROVER mode returns (words_a_lists, words_b_lists).
+        """
+        rover = self.model_b is not None
+        out_a, out_b = [], []
         total = len(spans)
         for base in range(0, total, self.max_batch):
             if cancel_check is not None and cancel_check():
@@ -93,29 +141,22 @@ class BatchedChunkDecoder:
             # Keep the batch dimension static: pad the last group.
             padded_group = list(group) + [(0, 1)] * (self.max_batch - len(group))
             audio, lens = self._build_batch(concat_audio, padded_group)
-            result, enc_lens = decode_batch_jit(
-                jnp.asarray(audio), jnp.asarray(lens),
-                model.enc_params, model.dec_params, model.joi_params,
-                model.zip_cfg, model.rnnt_cfg, model.beam_size,
-                hw_tables=model.hotword_tables,
-                with_hotwords=model.hotword_tables is not None,
-                use_pallas_fbank=self.use_pallas_fbank,
-            )
-            tokens = np.asarray(result.tokens)
-            frames = np.asarray(result.frames)
-            tok_logp = np.asarray(result.tok_logp)
-            entropy = np.asarray(result.entropy)
-            num_tokens = np.asarray(result.num_tokens)
-            enc_lens_np = np.asarray(enc_lens)
-            for i, (s, e) in enumerate(group):
-                dur = (e - s) / SAMPLE_RATE
-                words = beam_result_to_words(
-                    tokens[i], frames[i], tok_logp[i], entropy[i],
-                    num_tokens[i], enc_lens_np[i], model.id2token, dur,
-                    time_offset=s / SAMPLE_RATE)
-                out.append(words)
+            feats = fbank_batch_jit(jnp.asarray(audio),
+                                    use_pallas_fbank=self.use_pallas_fbank)
+            n_frames = jnp.asarray((lens + 80) // 160)
+            models = [self.model] + ([self.model_b] if rover else [])
+            for model, sink in zip(models, (out_a, out_b)):
+                result, enc_lens = decode_feats_jit(
+                    feats, n_frames,
+                    model.enc_params, model.dec_params, model.joi_params,
+                    model.zip_cfg, model.rnnt_cfg, model.beam_size,
+                    hw_tables=model.hotword_tables,
+                    with_hotwords=model.hotword_tables is not None,
+                )
+                sink.extend(self._words_from_result(result, enc_lens, group,
+                                                    model))
             if progress_callback:
                 done = min(base + self.max_batch, total)
                 progress_callback(
                     f"PHASE:{phase}|Decoding chunks|{done * 100 // total}")
-        return out
+        return (out_a, out_b) if rover else out_a

@@ -92,13 +92,19 @@ class TranscriberPipeline:
 
     def __init__(self, file_path, model: AsrModel, config=None,
                  progress_callback=None, cancel_check=None,
-                 vad_prob_fn=None):
+                 vad_prob_fn=None, punct_restorer=None):
         self.file_path = file_path
-        self.model = model
+        # ROVER mode: pass (model_a, model_b) (reference selects it via the
+        # "rover-voting" model id, asr_engine.py:899-901).
+        if isinstance(model, (tuple, list)):
+            self.model, self.model_b = model[0], model[1]
+        else:
+            self.model, self.model_b = model, None
         self.config = dict(config or {})
         self.progress_callback = progress_callback
         self.cancel_check = cancel_check
         self.vad_prob_fn = vad_prob_fn  # callable(audio)->probs, or None
+        self.punct_restorer = punct_restorer  # pipeline.punctuation instance
         self._phase_file = str(file_path) + ".asr_phase"
 
     # -- progress protocol (asr_engine.py:1904-1928) --
@@ -170,21 +176,40 @@ class TranscriberPipeline:
         silent = chunking.find_silent_regions(concat_audio)
         plan = chunking.plan_chunks(len(concat_audio), silent)
 
-        # ---- Batched decode ----
+        # ---- Batched decode (shared fbank in ROVER mode) ----
         t_dec = time.time()
-        self._emit("PHASE:Transcription|Transcribing|0")
+        is_rover = self.model_b is not None
+        label = "Transcribing (ROVER)" if is_rover else "Transcribing"
+        self._emit(f"PHASE:Transcription|{label}|0")
         decoder = BatchedChunkDecoder(
-            self.model, max_batch=int(self.config.get("max_batch", 8)))
+            self.model, max_batch=int(self.config.get("max_batch", 8)),
+            model_b=self.model_b)
         spans = [(s, e) for s, e, _ in plan]
-        chunk_words = decoder.decode_spans(
+        decoded = decoder.decode_spans(
             concat_audio, spans, progress_callback=self._emit,
             cancel_check=self.cancel_check)
+        if is_rover:
+            from sherpa_vietnamese_asr_tpu.pipeline.rover import (
+                rover_merge_words,
+            )
+            words_a_lists, words_b_lists = decoded
+            hotword_phrases = self.config.get("hotword_phrases") or []
+            chunk_words = []
+            for wa, wb in zip(words_a_lists, words_b_lists):
+                for w in wa + wb:
+                    w["start"] = vad_mod.map_concat_time(w["start"], offset_map)
+                    w["end"] = vad_mod.map_concat_time(w["end"], offset_map)
+                merged, _ = rover_merge_words(wa, wb, hotword_phrases)
+                chunk_words.append(merged)
+        else:
+            chunk_words = decoded
+            for words in chunk_words:
+                for w in words:
+                    w["start"] = vad_mod.map_concat_time(w["start"], offset_map)
+                    w["end"] = vad_mod.map_concat_time(w["end"], offset_map)
 
         chunk_results = []
         for (s, e, ov), words in zip(plan, chunk_words):
-            for w in words:
-                w["start"] = vad_mod.map_concat_time(w["start"], offset_map)
-                w["end"] = vad_mod.map_concat_time(w["end"], offset_map)
             chunk_results.append({
                 "text": " ".join(w["text"] for w in words),
                 "words": words,
@@ -197,20 +222,50 @@ class TranscriberPipeline:
             return None
 
         # ---- Merge overlaps, suspects, fillers ----
+        from sherpa_vietnamese_asr_tpu.pipeline.rover import (
+            rebuild_disagree_indices,
+        )
         all_words, full_text = merge_chunks_with_overlap(chunk_results)
-        all_words = suspect_detect(all_words, audio, disagree_indices=None,
+        disagree = rebuild_disagree_indices(all_words) if is_rover else None
+        all_words = suspect_detect(all_words, audio,
+                                   disagree_indices=disagree,
                                    vad_probs=vad_probs)
         all_words = remove_filler_words(all_words)
         full_text = " ".join(w["text"] for w in all_words)
+        if full_text:
+            full_text = full_text.capitalize()
 
-        # ---- Segmentation (pause-based until punctuation stage lands) ----
+        # ---- Punctuation + alignment, or pause-based segmentation ----
+        final_segments = []
+        restore = (self.config.get("restore_punctuation", False)
+                   and self.punct_restorer is not None and full_text)
+        if restore and not self.config.get("bypass_restorer", False):
+            from sherpa_vietnamese_asr_tpu.pipeline.alignment import (
+                align_sentences, build_pause_hints, split_sentences,
+            )
+            t_punct = time.time()
+            try:
+                self._emit("PHASE:Punctuation|Restoring punctuation|0")
+                pause_hints = build_pause_hints(all_words)
+                full_text = self.punct_restorer.restore(
+                    full_text, pause_hints=pause_hints)
+                timing["punctuation"] = time.time() - t_punct
+                t_align = time.time()
+                self._emit("PHASE:Align|Aligning timestamps|0")
+                final_segments = align_sentences(split_sentences(full_text),
+                                                 all_words)
+                timing["alignment"] = time.time() - t_align
+            except Exception:
+                timing["punctuation"] = time.time() - t_punct
+                final_segments = []
         t_align = time.time()
-        self._emit("PHASE:Align|Aligning timestamps|0")
-        final_segments = segment_words_by_pause(all_words)
+        if not final_segments:
+            self._emit("PHASE:Align|Aligning timestamps|0")
+            final_segments = segment_words_by_pause(all_words)
         final_segments = fix_overlapping_segments(final_segments)
         final_segments = split_long_segments(final_segments, max_duration=12.0,
                                              preserve_raw_words=True)
-        timing["alignment"] = time.time() - t_align
+        timing["alignment"] += time.time() - t_align
         self._emit("PHASE:Align|Done|100")
 
         self._emit("PHASE:Complete|Done|100")

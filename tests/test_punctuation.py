@@ -1,0 +1,153 @@
+# GEC punctuation/case subsystem tests.
+import numpy as np
+import pytest
+
+
+def _tiny_gec(**kw):
+    import jax
+
+    from sherpa_vietnamese_asr_tpu.models.vibert import (
+        TINY_VIBERT, init_vibert_params,
+    )
+    from sherpa_vietnamese_asr_tpu.pipeline.gec import GecBert
+    from sherpa_vietnamese_asr_tpu.utils.wordpiece import WordPieceTokenizer
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]"]
+    for c in "abcdefghijklmnopqrstuvwxyz":
+        vocab.append(c)
+        vocab.append("##" + c)
+    for w in ["xin", "chao", "viet", "nam", "hom", "nay", "troi", "dep",
+              "rat", "vui", ",", ".", "?", ":"]:
+        vocab.append(w)
+    tok = WordPieceTokenizer(vocab)
+    params = init_vibert_params(jax.random.PRNGKey(0), TINY_VIBERT)
+    return GecBert(params, TINY_VIBERT, tok, **kw)
+
+
+def test_wordpiece_tokenizer():
+    from sherpa_vietnamese_asr_tpu.utils.wordpiece import WordPieceTokenizer
+    tok = WordPieceTokenizer(["[PAD]", "[UNK]", "ab", "##cd", "##c", "x"])
+    assert tok.tokenize_word("ab") == [2]
+    assert tok.tokenize_word("abcd") == [2, 3]
+    assert tok.tokenize_word("abc") == [2, 4]
+    assert tok.tokenize_word("zzz") == [1]  # unk
+    ids, wids = tok.encode_words(["ab", "x"])
+    assert ids == [2, 5] and wids == [0, 1]
+
+
+def test_get_target_sent_by_edits():
+    from sherpa_vietnamese_asr_tpu.pipeline.gec import get_target_sent_by_edits
+    tokens = ["xin", "chao", "viet", "nam"]
+    # append period after "nam": get_token_action(index=4) yields (4, 4)
+    out = get_target_sent_by_edits(tokens, [(4, 4, "$APPEND_.", 0.9)])
+    assert out == ["xin", "chao", "viet", "nam", "."]
+    # capitalization
+    out = get_target_sent_by_edits(tokens, [(0, 1, "$TRANSFORM_CASE_CAPITAL", 0.9)])
+    assert out == ["Xin", "chao", "viet", "nam"]
+    # duplicate append suppressed
+    out = get_target_sent_by_edits(["a", ".", "b"], [(1, 1, "$APPEND_.", 0.9)])
+    assert out == ["a", ".", "b"]
+
+
+def test_convert_pause_nudges():
+    gec = _tiny_gec()
+    n_labels = len(gec.labels)
+    b, t = 1, 4  # START + 3 words
+    logits = np.zeros((b, t, n_labels), np.float32)
+    logits[:, :, gec.noop_index] = 5.0  # strong $KEEP everywhere
+    detect = np.zeros((b, t, len(gec.d_tags)), np.float32)
+    # word 0: gap 1.5s -> expect APPEND_. wins after nudge (+0.2 vs keep -0.2)
+    # but keep prob is ~1.0 after softmax; nudge of 0.4 total is not enough
+    # unless keep and append are close. Use closer logits for word 1.
+    logits[0, 2, gec.noop_index] = 1.0
+    logits[0, 2, gec.append_period_index] = 0.9
+    hints = [[0.0, 1.5, 0.0]]
+    probs, idxs, errs = gec._convert(logits.copy(), detect,
+                                     pause_hints_batch=hints)
+    assert idxs[0][2] == gec.append_period_index
+    # without hints, $KEEP stays
+    _, idxs2, _ = gec._convert(logits.copy(), detect)
+    assert idxs2[0][2] == gec.noop_index
+    # fast speech (<0.1s) suppresses a marginal comma
+    logits3 = np.zeros((b, t, n_labels), np.float32)
+    logits3[0, 1, gec.append_comma_index] = 1.0
+    logits3[0, 1, gec.noop_index] = 0.9
+    _, idxs3, _ = gec._convert(logits3.copy(), detect,
+                               pause_hints_batch=[[0.05, 0.0, 0.0]])
+    assert idxs3[0][1] == gec.noop_index
+
+
+def test_split_and_merge_chunks_identity():
+    gec = _tiny_gec(chunk_size=16, overlap_size=6, min_words_cut=2)
+    words = [f"w{i}" for i in range(50)]
+    chunks, indices, _ = gec.split_chunks([words])
+    assert indices == [(0, len(chunks))]
+    assert all(len(c) <= 16 for c in chunks)
+    merged = gec.merge_chunks(chunks)
+    assert merged == " ".join(words)
+
+
+def test_gec_handle_batch_runs_with_random_weights():
+    gec = _tiny_gec(chunk_size=16, overlap_size=6, min_words_cut=2,
+                    mini_batch_size=4)
+    text = "xin chao viet nam hom nay troi dep rat vui " * 4
+    out = gec(text.strip())
+    assert isinstance(out, list) and len(out) == 1
+    assert isinstance(out[0], str) and len(out[0]) > 0
+
+
+def test_post_process_rules():
+    from sherpa_vietnamese_asr_tpu.pipeline.punctuation import (
+        PunctuationRestorer,
+    )
+    pp = PunctuationRestorer.post_process
+    assert pp("xin chao ,, viet nam") == "Xin chao, viet nam"
+    assert pp("a : b") == "A b"
+    assert pp("a ,. b") == "A. B"
+    assert pp("xin chao. tam biet") == "Xin chao. Tam biet"
+    # comma limit in short sentences (max 1 comma per <8-word sentence)
+    out = pp("mot, hai, ba, bon nam.")
+    assert out.count(",") == 1
+
+
+def test_build_pause_hints_and_alignment():
+    from sherpa_vietnamese_asr_tpu.pipeline.alignment import (
+        align_sentences, build_pause_hints, split_sentences,
+    )
+    words = []
+    t = 0.0
+    for i, w in enumerate("xin chao viet nam hom nay troi dep".split()):
+        words.append({"text": w, "start": t, "end": t + 0.2})
+        t += 0.3 if i != 3 else 1.5  # big pause after "nam"
+    hints = build_pause_hints(words)
+    assert hints[3] > 1.0 and hints[-1] == 1.0
+    assert abs(hints[0] - 0.1) < 1e-6
+    # speaker boundary injection
+    hints2 = build_pause_hints(words, word_speaker=[0, 0, 1, 1, 1, 1, 1, 1])
+    assert hints2[1] >= 1.0
+
+    text = "Xin chao viet nam. Hom nay troi dep."
+    segs = align_sentences(split_sentences(text), words)
+    assert len(segs) == 2
+    assert segs[0]["text"] == "Xin chao viet nam."
+    assert abs(segs[0]["start"] - 0.0) < 1e-6
+    assert segs[1]["raw_words"][0]["text"] == "hom"
+
+
+def test_align_sentences_with_speakers_split():
+    from sherpa_vietnamese_asr_tpu.pipeline.alignment import (
+        align_sentences_with_speakers, split_sentences,
+    )
+    words = []
+    t = 0.0
+    for w in "mot hai ba bon".split():
+        words.append({"text": w, "start": t, "end": t + 0.2})
+        t += 0.3
+    spk = [0, 0, 1, 1]
+    names = ["Người nói 1"] * 2 + ["Người nói 2"] * 2
+    segs = align_sentences_with_speakers(
+        split_sentences("Mot hai ba bon."), words, spk, names)
+    assert len(segs) == 2
+    assert segs[0]["speaker_id"] == 0 and segs[1]["speaker_id"] == 1
+    assert segs[0]["text"].lower().startswith("mot")
+    assert "ba" in segs[1]["text"]
