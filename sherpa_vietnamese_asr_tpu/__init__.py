@@ -7,6 +7,10 @@
 
 __version__ = "0.1.0"
 
+from sherpa_vietnamese_asr_tpu.utils.jax_setup import ensure_setup as _setup
+
+_setup()
+
 from sherpa_vietnamese_asr_tpu.models.registry import (  # noqa: F401
     MODEL_30M,
     MODEL_68M,

@@ -118,6 +118,20 @@ def lstm_scan(params, feats, state=None):
     return jax.nn.sigmoid(logits), state
 
 
+def vad_step(params, chunk, context, state,
+             cfg: SileroVadConfig = SileroVadConfig()):
+    """Single streaming step: one 512-sample window with carried state.
+
+    Mirrors the reference's per-window ONNX call signature
+    (reference streaming_asr.py:88-101: input = context(64) + chunk(512),
+    carried LSTM state). Returns (prob, new_context, new_state).
+    """
+    full = jnp.concatenate([context, chunk])[None, :]  # [1, 576]
+    feats = window_features(params, full, cfg)
+    probs, new_state = lstm_scan(params, feats, state)
+    return probs[0], chunk[-cfg.context:], new_state
+
+
 def silero_vad_probs(params, audio, cfg: SileroVadConfig = SileroVadConfig()):
     """Per-window speech probabilities for a full waveform.
 

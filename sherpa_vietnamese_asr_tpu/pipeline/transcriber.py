@@ -92,7 +92,8 @@ class TranscriberPipeline:
 
     def __init__(self, file_path, model: AsrModel, config=None,
                  progress_callback=None, cancel_check=None,
-                 vad_prob_fn=None, punct_restorer=None):
+                 vad_prob_fn=None, punct_restorer=None, diarizer=None,
+                 quality_analyzer=None):
         self.file_path = file_path
         # ROVER mode: pass (model_a, model_b) (reference selects it via the
         # "rover-voting" model id, asr_engine.py:899-901).
@@ -105,6 +106,8 @@ class TranscriberPipeline:
         self.cancel_check = cancel_check
         self.vad_prob_fn = vad_prob_fn  # callable(audio)->probs, or None
         self.punct_restorer = punct_restorer  # pipeline.punctuation instance
+        self.diarizer = diarizer  # pipeline.diarization_pure.PureDiarizer
+        self.quality_analyzer = quality_analyzer  # pipeline.quality instance
         self._phase_file = str(file_path) + ".asr_phase"
 
     # -- progress protocol (asr_engine.py:1904-1928) --
@@ -226,6 +229,19 @@ class TranscriberPipeline:
             rebuild_disagree_indices,
         )
         all_words, full_text = merge_chunks_with_overlap(chunk_results)
+
+        # ---- DNSMOS quality on speech-only audio (asr_engine.py:2496-2528) --
+        quality_info = None
+        if self.quality_analyzer is not None:
+            t_q = time.time()
+            try:
+                self._emit("PHASE:QualityAnalysis|Analyzing audio quality|0")
+                quality_info = self.quality_analyzer.analyze_speech(
+                    concat_audio)
+                self._emit("PHASE:QualityAnalysis|Done|100")
+            except Exception:
+                quality_info = None
+            timing["quality"] = time.time() - t_q
         disagree = rebuild_disagree_indices(all_words) if is_rover else None
         all_words = suspect_detect(all_words, audio,
                                    disagree_indices=disagree,
@@ -235,33 +251,95 @@ class TranscriberPipeline:
         if full_text:
             full_text = full_text.capitalize()
 
+        # ---- Speaker diarization (runs before punctuation; reference
+        # asr_engine.py:2606-2756) ----
+        raw_speaker_segments = None
+        speaker_segments_raw = []
+        word_speaker = None
+        if self.config.get("speaker_diarization", False) \
+                and self.diarizer is not None and all_words:
+            from sherpa_vietnamese_asr_tpu.pipeline import diarization_post as dp
+
+            t_diar = time.time()
+            try:
+                self._emit("PHASE:Diarization|Detecting speakers|0")
+
+                def diar_progress(pct, total=100):
+                    self._emit(f"PHASE:Diarization|Detecting speakers|{pct}")
+
+                diar = self.diarizer.process(audio,
+                                             progress_callback=diar_progress)
+                raw_speaker_segments = dp.post_process_diarization_segments(
+                    [dp.Segment(s["start"], s["end"], s["speaker"])
+                     for s in diar], asr_words=all_words)
+                speaker_segments_raw = [{
+                    "speaker": dp.speaker_name(s.speaker),
+                    "speaker_id": s.speaker,
+                    "start": s.start, "end": s.end,
+                    "duration": s.end - s.start,
+                } for s in raw_speaker_segments]
+                word_speaker = dp.speaker_labels_for_words(
+                    all_words, raw_speaker_segments)
+                self._emit("PHASE:Diarization|Done|100")
+            except Exception:
+                import logging
+                logging.getLogger(__name__).error("diarization failed",
+                                                  exc_info=True)
+                raw_speaker_segments = None
+                word_speaker = None
+            timing["diarization"] = time.time() - t_diar
+        if self._cancelled():
+            return None
+
         # ---- Punctuation + alignment, or pause-based segmentation ----
         final_segments = []
         restore = (self.config.get("restore_punctuation", False)
                    and self.punct_restorer is not None and full_text)
         if restore and not self.config.get("bypass_restorer", False):
             from sherpa_vietnamese_asr_tpu.pipeline.alignment import (
-                align_sentences, build_pause_hints, split_sentences,
+                align_sentences, align_sentences_with_speakers,
+                build_pause_hints, split_sentences,
             )
             t_punct = time.time()
             try:
                 self._emit("PHASE:Punctuation|Restoring punctuation|0")
-                pause_hints = build_pause_hints(all_words)
+                pause_hints = build_pause_hints(all_words,
+                                                word_speaker=word_speaker)
                 full_text = self.punct_restorer.restore(
                     full_text, pause_hints=pause_hints)
                 timing["punctuation"] = time.time() - t_punct
                 t_align = time.time()
                 self._emit("PHASE:Align|Aligning timestamps|0")
-                final_segments = align_sentences(split_sentences(full_text),
-                                                 all_words)
+                sentences = split_sentences(full_text)
+                if word_speaker is not None:
+                    from sherpa_vietnamese_asr_tpu.pipeline.diarization_post \
+                        import smooth_speaker_boundary_fragments, speaker_name
+                    names = [speaker_name(s) for s in word_speaker]
+                    final_segments = align_sentences_with_speakers(
+                        sentences, all_words, word_speaker, names)
+                    final_segments = smooth_speaker_boundary_fragments(
+                        final_segments)
+                else:
+                    final_segments = align_sentences(sentences, all_words)
                 timing["alignment"] = time.time() - t_align
             except Exception:
+                import logging
+                logging.getLogger(__name__).error("punctuation failed",
+                                                  exc_info=True)
                 timing["punctuation"] = time.time() - t_punct
                 final_segments = []
         t_align = time.time()
         if not final_segments:
             self._emit("PHASE:Align|Aligning timestamps|0")
             final_segments = segment_words_by_pause(all_words)
+            if raw_speaker_segments is not None:
+                from sherpa_vietnamese_asr_tpu.pipeline.diarization_post \
+                    import (process_with_transcription,
+                            smooth_speaker_boundary_fragments)
+                final_segments = process_with_transcription(
+                    final_segments, raw_speaker_segments)
+                final_segments = smooth_speaker_boundary_fragments(
+                    final_segments)
         final_segments = fix_overlapping_segments(final_segments)
         final_segments = split_long_segments(final_segments, max_duration=12.0,
                                              preserve_raw_words=True)
@@ -288,13 +366,13 @@ class TranscriberPipeline:
                 "quality": timing["quality"],
             },
             "paragraphs": [],
-            "has_speaker_diarization": False,
-            "speaker_segments_raw": [],
+            "has_speaker_diarization": bool(speaker_segments_raw),
+            "speaker_segments_raw": speaker_segments_raw,
             "duration_sec": total_samples / SAMPLE_RATE,
             "speaker_names": {},
             "asr_confidence": (float(np.mean(word_probs))
                                if word_probs else None),
-            "quality_info": None,
+            "quality_info": quality_info,
             "execution_provider": "tpu",
             "stage_execution_providers": {},
             "asr_provider_info": {"backend": "jax", "device": "tpu"},
