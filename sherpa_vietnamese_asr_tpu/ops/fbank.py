@@ -48,7 +48,12 @@ _OUT_PAD = 128      # 80 mel bins padded to one lane
 
 @functools.lru_cache(maxsize=32)
 def _constants(cfg: FbankConfig):
-    """Static tables for a config: window, DFT bases, padded mel bank."""
+    """Static tables for a config: window, DFT bases, padded mel bank.
+
+    Cached as NUMPY arrays: caching jnp arrays would leak tracers when the
+    first call happens inside a jit trace (jnp.asarray of a constant is
+    itself a tracer under tracing in JAX >= 0.7).
+    """
     n_fft = cfg.n_fft
     n_spec = n_fft // 2 + 1
     k = np.arange(n_fft, dtype=np.float64)[:, None]
@@ -61,7 +66,7 @@ def _constants(cfg: FbankConfig):
     mel = np.zeros((_K_PAD, _OUT_PAD), dtype=np.float32)
     mel[:n_spec, : cfg.num_bins] = kaldi_mel_banks(cfg).T
     win = feature_window(cfg)
-    return jnp.asarray(wc), jnp.asarray(ws), jnp.asarray(mel), jnp.asarray(win)
+    return wc, ws, mel, win
 
 
 @functools.lru_cache(maxsize=64)
