@@ -83,9 +83,11 @@ class BatchedChunkDecoder:
     def __init__(self, model: AsrModel, max_batch: int = 8,
                  chunk_pad_sec: float = CHUNK_PAD_SEC,
                  use_pallas_fbank: bool | None = None,
-                 model_b: AsrModel | None = None):
+                 model_b: AsrModel | None = None,
+                 chunk_transform=None):
         self.model = model
         self.model_b = model_b
+        self.chunk_transform = chunk_transform  # e.g. WPE per chunk
         self.max_batch = max_batch
         self.pad_len = int(chunk_pad_sec * SAMPLE_RATE)
         if use_pallas_fbank is None:
@@ -99,7 +101,10 @@ class BatchedChunkDecoder:
         lens = np.zeros((b,), dtype=np.int32)
         for i, (s, e) in enumerate(spans):
             n = min(e - s, self.pad_len)
-            batch[i, :n] = concat_audio[s: s + n]
+            chunk = concat_audio[s: s + n]
+            if self.chunk_transform is not None:
+                chunk = self.chunk_transform(chunk)
+            batch[i, :n] = chunk
             lens[i] = n
             # Reflect-fill the tail so snip_edges=False frames near the end
             # match an exact-length fbank (utils/fbank_ref.reflect_index).

@@ -293,6 +293,14 @@ def vbx_cluster(fea, plda_psi, ahc_labels, fa, fb, max_iters=20):
 # Device stages (jitted)
 # ---------------------------------------------------------------------------
 
+@jax.jit
+def _full_fbank_jit(audio):
+    from sherpa_vietnamese_asr_tpu.ops import fbank as fbank_ops
+    from sherpa_vietnamese_asr_tpu.utils.fbank_ref import RESNET_EMB_FBANK
+
+    return fbank_ops.compute_fbank(audio, RESNET_EMB_FBANK, use_pallas=False)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _segment_batch_jit(params, windows, cfg):
     from sherpa_vietnamese_asr_tpu.models.pyannet import pyannet_forward
@@ -517,14 +525,16 @@ class PureDiarizer:
         frames_per_chunk = int(CHUNK_DURATION * 1000 / 10) - 2  # 998
 
         # Whole-audio fbank once (zero-padded by one chunk like the
-        # reference), on device.
-        padded = np.concatenate(
-            [audio, np.zeros(CHUNK_SAMPLES, np.float32)])
-        full_fbank = np.asarray(jax.jit(
-            lambda a: fbank_ops.compute_fbank(a, RESNET_EMB_FBANK,
-                                              use_pallas=False))(
-            jnp.asarray(padded)))
-        n_total = full_fbank.shape[0]
+        # reference), on device. The length is bucketed to multiples of 60 s
+        # so distinct files reuse one compiled program.
+        bucket = 60 * SAMPLE_RATE
+        target = CHUNK_SAMPLES + ((len(audio) + bucket - 1) // bucket) * bucket
+        padded = np.zeros(target, np.float32)
+        padded[: len(audio)] = audio
+        full_fbank = np.asarray(_full_fbank_jit(jnp.asarray(padded)))
+        n_total = fbank_ops.num_frames(len(audio) + CHUNK_SAMPLES,
+                                       RESNET_EMB_FBANK)
+        full_fbank = full_fbank[:n_total]
         shift = int(SAMPLE_RATE * 0.01)
 
         # Frame-feature time subsampling: encoder downsamples time by 8.
@@ -729,9 +739,16 @@ class PureDiarizer:
             return None
         fb = np.asarray(fbank_ops.compute_fbank(
             jnp.asarray(audio_segment), RESNET_EMB_FBANK, use_pallas=False))
-        t_feat = max(1, self.emb_cfg.out_time(fb.shape[0]))
-        weights = np.ones((1, 1, t_feat), np.float32)
+        # Fixed 998-frame bucket (one compiled program); mask the padding.
+        frames_per_chunk = int(CHUNK_DURATION * 1000 / 10) - 2
+        valid = min(fb.shape[0], frames_per_chunk)
+        fb_pad = np.zeros((1, frames_per_chunk, fb.shape[1]), np.float32)
+        fb_pad[0, :valid] = fb[:valid]
+        t_feat = self.emb_cfg.out_time(frames_per_chunk)
+        t_valid = max(1, self.emb_cfg.out_time(valid))
+        weights = np.zeros((1, 1, t_feat), np.float32)
+        weights[0, 0, :t_valid] = 1.0
         emb = np.asarray(_embed_batch_jit(
-            self.emb_params, jnp.asarray(fb[None]), jnp.asarray(weights),
+            self.emb_params, jnp.asarray(fb_pad), jnp.asarray(weights),
             self.emb_cfg))
         return emb[0, 0]

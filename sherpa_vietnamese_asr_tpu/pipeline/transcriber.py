@@ -164,6 +164,21 @@ class TranscriberPipeline:
             segs = vad_mod.get_vad_segments(audio, cached_prob_fn,
                                             progress_callback=self._emit)
             self._emit(f"PHASE:VAD|Found {len(segs)} speech segments|100")
+            # Preprocess on the full audio with global VAD context
+            # (asr_engine.py:2099-2115)
+            if not self.config.get("skip_preprocessing", False):
+                try:
+                    from sherpa_vietnamese_asr_tpu.pipeline.preprocessing \
+                        import preprocess_audio
+                    t_pre = time.time()
+                    audio = preprocess_audio(
+                        audio, segs, SAMPLE_RATE,
+                        enable_rms_normalize=self.config.get(
+                            "preprocess_rms_normalize", False),
+                        progress_callback=self._emit)
+                    timing["preprocessing"] = time.time() - t_pre
+                except Exception:
+                    pass
             segs = chunking.merge_vad_gaps(segs)
             concat_audio, offset_map = vad_mod.concat_speech(audio, segs)
         except Exception as e:
@@ -184,9 +199,21 @@ class TranscriberPipeline:
         is_rover = self.model_b is not None
         label = "Transcribing (ROVER)" if is_rover else "Transcribing"
         self._emit(f"PHASE:Transcription|{label}|0")
+        chunk_transform = None
+        if self.config.get("preprocess_wpe", False):
+            from sherpa_vietnamese_asr_tpu.pipeline.preprocessing import (
+                adaptive_peak_limit, apply_wpe_dereverberation,
+            )
+
+            def chunk_transform(chunk):
+                try:
+                    return adaptive_peak_limit(
+                        apply_wpe_dereverberation(chunk))
+                except Exception:
+                    return chunk
         decoder = BatchedChunkDecoder(
             self.model, max_batch=int(self.config.get("max_batch", 8)),
-            model_b=self.model_b)
+            model_b=self.model_b, chunk_transform=chunk_transform)
         spans = [(s, e) for s, e, _ in plan]
         decoded = decoder.decode_spans(
             concat_audio, spans, progress_callback=self._emit,
