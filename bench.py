@@ -24,16 +24,21 @@ def main():
     import jax.numpy as jnp
 
     from sherpa_vietnamese_asr_tpu.models.registry import random_asr_model
-    from sherpa_vietnamese_asr_tpu.pipeline.decoder import decode_batch_jit
+    from sherpa_vietnamese_asr_tpu.pipeline.decoder import (
+        decode_feats_jit,
+        fbank_batch_jit,
+    )
 
     backend = jax.default_backend()
     on_tpu = backend not in ("cpu",)
 
     chunk_sec = 30.0
+    pad_sec = 33.0  # pipeline/decoder.py CHUNK_PAD_SEC — shared programs
     batch = 8 if on_tpu else 2
     n_batches = 5 if on_tpu else 1
     sr = 16000
     n = int(chunk_sec * sr)
+    n_pad = int(pad_sec * sr)
 
     model = random_asr_model(vocab_size=2000, beam_size=8)
     rng = np.random.default_rng(0)
@@ -42,18 +47,23 @@ def main():
     t = np.arange(n) / sr
     base = (0.3 * np.sin(2 * np.pi * 220 * t)
             * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)
-    batches = [
-        jnp.asarray(np.stack([
-            base + 0.05 * rng.standard_normal(n).astype(np.float32)
-            for _ in range(batch)]))
-        for _ in range(n_batches + 1)]
+    def mk_batch():
+        out = np.zeros((batch, n_pad), np.float32)
+        for i in range(batch):
+            out[i, :n] = base + 0.05 * rng.standard_normal(n)
+        return jnp.asarray(out)
+
+    batches = [mk_batch() for _ in range(n_batches + 1)]
     lens = jnp.asarray(np.full((batch,), n, np.int32))
 
     def step(audio):
-        result, enc_lens = decode_batch_jit(
-            audio, lens, model.enc_params, model.dec_params,
-            model.joi_params, model.zip_cfg, model.rnnt_cfg, model.beam_size,
-            use_pallas_fbank=on_tpu)
+        # Same two jitted programs the production pipeline uses
+        # (pipeline/decoder.py), so the compile cache is shared.
+        feats = fbank_batch_jit(audio, use_pallas_fbank=on_tpu)
+        n_frames = (lens + 80) // 160
+        result, enc_lens = decode_feats_jit(
+            feats, n_frames, model.enc_params, model.dec_params,
+            model.joi_params, model.zip_cfg, model.rnnt_cfg, model.beam_size)
         # Materialize on host — robust barrier on experimental backends.
         return int(np.asarray(result.num_tokens).sum())
 

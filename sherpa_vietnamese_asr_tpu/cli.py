@@ -1,0 +1,201 @@
+# Command-line interface — the thin front-end replacing the reference's
+# PyQt6 desktop shell (out of TPU-core scope per SURVEY.md section 2.4).
+#
+# Subcommands:
+#   transcribe <audio> [--model ...] [--rover] [--diarize] [--punctuate]
+#       -> prints text, writes <audio>.asr.json
+#   serve [--host --port --data-dir] -> HTTP API (web_service/server.py)
+#   bench -> one-line JSON benchmark (same as repo-root bench.py)
+#   monitor -> RAM/CPU/disk sampler (resource_monitor equivalent)
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _load_model(args):
+    import os
+
+    from sherpa_vietnamese_asr_tpu.models.registry import (
+        MODEL_30M, MODEL_68M, load_asr_model, random_asr_model,
+    )
+
+    name = args.model
+    if os.path.isdir(name):
+        return load_asr_model(name, beam_size=args.beam)
+    canonical = MODEL_68M if "68" in name or "2025" in name else MODEL_30M
+    print(f"[cli] no checkpoint dir given; random-weight {canonical} "
+          "(architecture-true)", file=sys.stderr)
+    return random_asr_model(canonical, beam_size=args.beam)
+
+
+def cmd_transcribe(args):
+    from sherpa_vietnamese_asr_tpu.pipeline.asr_json import (
+        save_asr_json, serialize_segments,
+    )
+    from sherpa_vietnamese_asr_tpu.pipeline.transcriber import (
+        TranscriberPipeline,
+    )
+
+    model = _load_model(args)
+    if args.rover:
+        from sherpa_vietnamese_asr_tpu.models.registry import (
+            MODEL_68M, random_asr_model,
+        )
+        model = (model, random_asr_model(MODEL_68M, beam_size=args.beam))
+
+    config = {
+        "speaker_diarization": args.diarize,
+        "restore_punctuation": args.punctuate,
+        "max_batch": args.max_batch,
+        "preprocess_rms_normalize": args.rms_normalize,
+        "preprocess_wpe": args.wpe,
+        "bypass_vad": args.no_vad,
+    }
+    diarizer = None
+    if args.diarize:
+        from sherpa_vietnamese_asr_tpu.pipeline.diarization_pure import (
+            PureDiarizer,
+        )
+        diarizer = PureDiarizer(num_speakers=args.num_speakers or -1)
+
+    def progress(msg):
+        if args.verbose and msg.startswith("PHASE:"):
+            print(msg, file=sys.stderr)
+
+    t0 = time.time()
+    result = TranscriberPipeline(args.audio, model, config,
+                                 progress_callback=progress,
+                                 diarizer=diarizer).run()
+    dt = time.time() - t0
+    if result is None:
+        print("cancelled", file=sys.stderr)
+        return 1
+    print(result["text"])
+    rtfx = result["duration_sec"] / max(dt, 1e-6)
+    print(f"[cli] {result['duration_sec']:.1f}s audio in {dt:.1f}s "
+          f"({rtfx:.1f}x realtime), {len(result['segments'])} segments",
+          file=sys.stderr)
+    out_path = args.output or (args.audio + ".asr.json")
+    data = serialize_segments(result["segments"],
+                              model_name=getattr(model, "name", "rover"),
+                              duration_sec=result["duration_sec"],
+                              timing=result["timing"],
+                              overlap_segments=result["overlap_segments"])
+    data["text"] = result["text"]
+    save_asr_json(out_path, data)
+    print(f"[cli] wrote {out_path}", file=sys.stderr)
+    return 0
+
+
+def cmd_serve(args):
+    from sherpa_vietnamese_asr_tpu.web_service.server import make_server
+
+    models = {}
+
+    def model_provider(name):
+        if name not in models:
+            ns = argparse.Namespace(model=name or "zipformer-30m-rnnt-6000h",
+                                    beam=8)
+            models[name] = _load_model(ns)
+        return models[name]
+
+    server, _state = make_server(host=args.host, port=args.port,
+                                 data_dir=args.data_dir,
+                                 model_provider=model_provider)
+    print(f"[serve] listening on http://{args.host}:"
+          f"{server.server_address[1]}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+    return 0
+
+
+def cmd_bench(args):
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench.py")
+    spec = importlib.util.spec_from_file_location("bench", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main()
+    return 0
+
+
+def cmd_monitor(args):
+    """RAM/CPU/disk sampler (reference resource_monitor.py equivalent)."""
+    import csv
+    import resource
+
+    out = open(args.output, "w", newline="") if args.output else None
+    writer = csv.writer(out) if out else None
+    if writer:
+        writer.writerow(["t", "rss_mb", "cpu_user_s", "cpu_sys_s"])
+    t0 = time.time()
+    try:
+        for _ in range(args.samples):
+            ru = resource.getrusage(resource.RUSAGE_SELF)
+            rss_mb = ru.ru_maxrss / 1024
+            row = [round(time.time() - t0, 1), round(rss_mb, 1),
+                   round(ru.ru_utime, 2), round(ru.ru_stime, 2)]
+            print(f"t={row[0]}s rss={row[1]}MB user={row[2]}s sys={row[3]}s")
+            if writer:
+                writer.writerow(row)
+            time.sleep(args.interval)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        if out:
+            out.close()
+    return 0
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="svt", description="TPU-native Vietnamese ASR framework")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("transcribe", help="transcribe an audio file")
+    t.add_argument("audio")
+    t.add_argument("--model", default="zipformer-30m-rnnt-6000h",
+                   help="model dir (with ONNX + tokens.txt) or model id")
+    t.add_argument("--beam", type=int, default=8)
+    t.add_argument("--rover", action="store_true")
+    t.add_argument("--diarize", action="store_true")
+    t.add_argument("--punctuate", action="store_true")
+    t.add_argument("--num-speakers", type=int, default=0)
+    t.add_argument("--max-batch", type=int, default=8)
+    t.add_argument("--rms-normalize", action="store_true")
+    t.add_argument("--wpe", action="store_true")
+    t.add_argument("--no-vad", action="store_true")
+    t.add_argument("--output", default=None)
+    t.add_argument("-v", "--verbose", action="store_true")
+    t.set_defaults(fn=cmd_transcribe)
+
+    s = sub.add_parser("serve", help="run the HTTP API server")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8000)
+    s.add_argument("--data-dir", default="web_data")
+    s.set_defaults(fn=cmd_serve)
+
+    b = sub.add_parser("bench", help="run the benchmark")
+    b.set_defaults(fn=cmd_bench)
+
+    m = sub.add_parser("monitor", help="resource monitor")
+    m.add_argument("--interval", type=float, default=1.0)
+    m.add_argument("--samples", type=int, default=60)
+    m.add_argument("--output", default=None)
+    m.set_defaults(fn=cmd_monitor)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,422 @@
+# Senko-style CAM++ diarizer — the fast alternative backend.
+#
+# Behavioral port of reference core/speaker_diarization_senko_campp_optimized.py:
+#   * pyannote segmentation as VAD with 10 s windows / 5 s step (:411-505),
+#     overlap regions extracted from the powerset (additive API);
+#   * sliding 1.5 s / 0.6 s CAM++ windows with fbank-computed-once-per-region
+#     and frame-sliced windows (:519-618), batched model calls;
+#   * Senko clustering (:183-305): spectral (< 20 min) with p-pruning and
+#     eigengap speaker count, UMAP+HDBSCAN (>= 20 min), minor-cluster filter,
+#     merge-by-cosine 0.875;
+#   * post rules (:776-819): merge gap <= 4 s, drop <= 0.78 s fragments,
+#     re-rank speakers by total speaking time.
+# Environment gates: `umap`/`hdbscan` packages are absent here, so the long-
+# audio path uses sklearn HDBSCAN over a PCA reduction (documented
+# substitution; the spectral path — the common case — is exact).
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+SAMPLE_RATE = 16000
+POWERSET_MAP = np.array([
+    [0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1],
+    [1, 1, 0], [1, 0, 1], [0, 1, 1]], dtype=np.float32)
+
+
+def cosine_similarity(x, y=None):
+    if y is None:
+        y = x
+    xn = x / (np.linalg.norm(x, axis=1, keepdims=True) + 1e-10)
+    yn = y / (np.linalg.norm(y, axis=1, keepdims=True) + 1e-10)
+    return xn @ yn.T
+
+
+def senko_spectral(x, min_num_spks=1, max_num_spks=10, pval=0.02,
+                   min_pnum=6, oracle_num=None):
+    """Senko SpectralCluster: p-pruned cosine affinity, unnormalized
+    Laplacian, eigengap count, KMeans on spectral embeddings."""
+    n = x.shape[0]
+    if n <= 1:
+        return np.zeros(n, np.int32)
+    m = cosine_similarity(x)
+    n_elems = int((1 - pval) * n)
+    n_elems = max(min(n_elems, n - min_pnum), 0)
+    for i in range(n):
+        low = np.argsort(m[i])[:n_elems]
+        m[i, low] = 0
+    m = 0.5 * (m + m.T)
+    np.fill_diagonal(m, 0)
+    d = np.abs(m).sum(axis=1)
+    lap = np.diag(d) - m
+    lambdas, vecs = np.linalg.eigh(lap)
+    if oracle_num is not None:
+        k = oracle_num
+    else:
+        sub = lambdas[min_num_spks - 1: max_num_spks + 1]
+        gaps = [float(sub[i + 1]) - float(sub[i]) for i in range(len(sub) - 1)]
+        if not gaps:
+            return np.zeros(n, np.int32)
+        k = int(np.argmax(gaps)) + min_num_spks
+    k = max(1, min(k, n))
+    from sklearn.cluster import KMeans
+    return KMeans(n_clusters=k, random_state=0).fit_predict(
+        vecs[:, :k]).astype(np.int32)
+
+
+def senko_umap_hdbscan(x, n_neighbors=20, n_components=60, min_samples=20,
+                       min_cluster_size=10, metric="euclidean"):
+    """Senko UmapHdbscan. `umap`/`hdbscan` are gated: when absent, PCA +
+    sklearn HDBSCAN substitute (same downstream rules)."""
+    n_comp = max(min(n_components, x.shape[0] - 2), 2)
+    try:
+        import umap
+
+        red = umap.UMAP(n_neighbors=n_neighbors, min_dist=0.0,
+                        n_components=n_comp, metric=metric).fit_transform(x)
+    except ImportError:
+        from sklearn.decomposition import PCA
+
+        red = PCA(n_components=min(n_comp, min(x.shape) - 1)).fit_transform(x)
+    try:
+        import hdbscan
+
+        labels = hdbscan.HDBSCAN(min_samples=min_samples,
+                                 min_cluster_size=min_cluster_size
+                                 ).fit_predict(red)
+    except ImportError:
+        from sklearn.cluster import HDBSCAN
+
+        labels = HDBSCAN(min_samples=min_samples,
+                         min_cluster_size=min_cluster_size).fit_predict(red)
+    return labels.astype(np.int32)
+
+
+def senko_cluster(x, cluster_type="umap_hdbscan", cluster_line=10,
+                  mer_cos=0.875, min_cluster_size=4, **kw):
+    """Senko CommonClustering: cluster, filter minor clusters to nearest
+    major centroid, iterative merge-by-cosine, relabel."""
+    n = x.shape[0]
+    if n < cluster_line:
+        return np.ones(n, np.int32)
+    if cluster_type == "umap_hdbscan":
+        labels = senko_umap_hdbscan(x, min_cluster_size=min_cluster_size,
+                                    **kw)
+    else:
+        labels = senko_spectral(x, **kw)
+
+    cset = np.unique(labels)
+    csize = np.array([(labels == i).sum() for i in cset])
+    minor = np.where(csize < min_cluster_size)[0]
+    if len(minor) > 0:
+        major = np.where(csize >= min_cluster_size)[0]
+        if len(major) > 0:
+            major_cset = cset[major]
+            centers = np.stack([x[labels == i].mean(0) for i in major_cset])
+            minor_cset = set(cset[minor])
+            for i in range(len(labels)):
+                if labels[i] in minor_cset:
+                    sim = cosine_similarity(x[i: i + 1], centers)
+                    labels[i] = major_cset[sim.argmax()]
+        else:
+            labels = np.zeros(n, np.int32)
+
+    if mer_cos is not None and mer_cos > 0:
+        while True:
+            cset = np.unique(labels)
+            if len(cset) <= 1:
+                break
+            centers = np.stack([x[labels == i].mean(0) for i in cset])
+            aff = np.triu(cosine_similarity(centers, centers), 1)
+            idx = np.unravel_index(np.argmax(aff), aff.shape)
+            if aff[idx] < mer_cos:
+                break
+            c1, c2 = cset[np.array(idx)]
+            labels[labels == c2] = c1
+
+    remap = {old: new for new, old in enumerate(np.unique(labels))}
+    return np.array([remap[v] for v in labels], np.int32)
+
+
+class SenkoCamppDiarizer:
+    """CAM++ sliding-window diarizer with Senko clustering/post rules."""
+
+    def __init__(self, seg_params=None, seg_cfg=None, campp_params=None,
+                 campp_cfg=None, num_speakers=-1, min_speakers=1,
+                 max_speakers=10, mer_cos=0.875, window=1.5, step=0.6,
+                 min_duration_off=0.0, batch_size=32):
+        import jax
+
+        from sherpa_vietnamese_asr_tpu.models.campplus import (
+            CamppConfig, init_campp_params,
+        )
+        from sherpa_vietnamese_asr_tpu.models.pyannet import (
+            PyanNetConfig, init_pyannet_params,
+        )
+
+        self.seg_cfg = seg_cfg or PyanNetConfig()
+        self.seg_params = seg_params if seg_params is not None else \
+            init_pyannet_params(jax.random.PRNGKey(0), self.seg_cfg)
+        self.campp_cfg = campp_cfg or CamppConfig()
+        self.campp_params = campp_params if campp_params is not None else \
+            init_campp_params(jax.random.PRNGKey(1), self.campp_cfg)
+        self.num_speakers = num_speakers
+        self.min_speakers = max(1, min_speakers)
+        self.max_speakers = max_speakers
+        self.mer_cos = mer_cos
+        self.window = window
+        self.step = step
+        self.min_duration_off = min_duration_off
+        self.batch_size = batch_size
+        self._last_overlap_regions = []
+
+    @property
+    def overlap_regions(self):
+        return list(self._last_overlap_regions)
+
+    # -- VAD via segmentation model (10 s window / 5 s step) -----------------
+    def _pyannote_vad(self, audio, min_speech=0.25, min_silence=0.1):
+        import jax.numpy as jnp
+
+        from sherpa_vietnamese_asr_tpu.pipeline.diarization_pure import (
+            _segment_batch_jit,
+        )
+
+        chunk = int(10.0 * SAMPLE_RATE)
+        step = int(5.0 * SAMPLE_RATE)
+        total = len(audio)
+        starts = []
+        s = 0
+        while s < total:
+            starts.append(s)
+            if s + chunk >= total:
+                break
+            s += step
+        logits = []
+        for b in range(0, len(starts), 32):
+            group = starts[b: b + 32]
+            batch = np.zeros((32, chunk), np.float32)
+            for i, cs in enumerate(group):
+                ce = min(cs + chunk, total)
+                batch[i, : ce - cs] = audio[cs:ce]
+            out = np.asarray(_segment_batch_jit(
+                self.seg_params, jnp.asarray(batch), self.seg_cfg))
+            logits.append(out[: len(group)])
+        seg_logits = np.concatenate(logits, axis=0)
+        binarized = POWERSET_MAP[np.argmax(seg_logits, axis=-1)]
+        n_frames = binarized.shape[1]
+        frame_dur = 10.0 / n_frames
+        total_dur = total / SAMPLE_RATE
+        n_out = int(total_dur / frame_dur) + 1
+        speech = np.zeros(n_out, np.float32)
+        overlap = np.zeros(n_out, np.float32)
+        count = np.zeros(n_out, np.float32)
+        offs = np.arange(n_frames) * frame_dur
+        for c, cs in enumerate(starts):
+            out_f = ((cs / SAMPLE_RATE + offs) / frame_dur).astype(int)
+            ok = (out_f >= 0) & (out_f < n_out)
+            act = binarized[c].sum(axis=-1)
+            np.add.at(count, out_f[ok], 1.0)
+            np.add.at(speech, out_f[ok], (act[ok] > 0).astype(np.float32))
+            np.add.at(overlap, out_f[ok], (act[ok] >= 2).astype(np.float32))
+        speech_prob = np.where(count > 0, speech / np.maximum(count, 1), 0)
+        overlap_prob = np.where(count > 0, overlap / np.maximum(count, 1), 0)
+
+        def to_regions(mask, min_dur):
+            regions, in_r, start_t = [], False, 0.0
+            for f, a in enumerate(mask):
+                t = f * frame_dur
+                if a and not in_r:
+                    start_t, in_r = t, True
+                elif not a and in_r:
+                    if t - start_t >= min_dur:
+                        regions.append((start_t, min(t, total_dur)))
+                    in_r = False
+            if in_r:
+                t = len(mask) * frame_dur
+                if t - start_t >= min_dur:
+                    regions.append((start_t, min(t, total_dur)))
+            return regions
+
+        self._last_overlap_regions = to_regions(overlap_prob > 0.5, 0.3)
+        regions = to_regions(speech_prob > 0.5, min_speech)
+        if not regions:
+            return [(0.0, total_dur)]
+        merged = [regions[0]]
+        for s0, e0 in regions[1:]:
+            if s0 - merged[-1][1] < min_silence:
+                merged[-1] = (merged[-1][0], e0)
+            else:
+                merged.append((s0, e0))
+        return merged
+
+    # -- embeddings --------------------------------------------------------------
+    def _sliding_window_embeddings(self, audio, speech_regions,
+                                   progress_callback=None):
+        import jax.numpy as jnp
+
+        from sherpa_vietnamese_asr_tpu.ops import fbank as fbank_ops
+        from sherpa_vietnamese_asr_tpu.pipeline.overlap import _campp_jit
+        from sherpa_vietnamese_asr_tpu.utils.fbank_ref import CAMPP_FBANK
+
+        window_frames = int(self.window * 100)  # 150 for 1.5 s
+        step_frames = int(self.step * 100)
+
+        slices = []  # (fbank_slice, start_sec, end_sec)
+        for rs, re_ in speech_regions:
+            s0 = int(rs * SAMPLE_RATE)
+            e0 = min(int(re_ * SAMPLE_RATE), len(audio))
+            if e0 - s0 < 400:
+                continue
+            region_fbank = np.asarray(fbank_ops.compute_fbank(
+                jnp.asarray(audio[s0:e0]), CAMPP_FBANK, use_pallas=False))
+            nf = region_fbank.shape[0]
+            if nf < 10:
+                continue
+            if nf < window_frames:
+                slices.append((region_fbank, rs, re_))
+            else:
+                pos = 0
+                while pos + window_frames < nf:
+                    ws = rs + pos * 0.01
+                    slices.append((region_fbank[pos: pos + window_frames],
+                                   ws, ws + self.window))
+                    pos += step_frames
+                tail = max(0, nf - window_frames)
+                ws = rs + tail * 0.01
+                slices.append((region_fbank[tail: tail + window_frames],
+                               ws, ws + self.window))
+        if not slices:
+            return np.empty((0, self.campp_cfg.embed_dim), np.float32), []
+
+        embeddings, times = [], []
+        bsz = self.batch_size
+        pad_frames = window_frames
+        for b in range(0, len(slices), bsz):
+            group = slices[b: b + bsz]
+            feats = np.zeros((bsz, pad_frames, 80), np.float32)
+            mask = np.zeros((bsz, pad_frames), np.float32)
+            for i, (fb, _, _) in enumerate(group):
+                k = min(fb.shape[0], pad_frames)
+                feats[i, :k] = fb[:k]
+                mask[i, :k] = 1.0
+            embs = np.asarray(_campp_jit(self.campp_params,
+                                         jnp.asarray(feats),
+                                         jnp.asarray(mask), self.campp_cfg))
+            for i, (_, ws, we) in enumerate(group):
+                e = embs[i]
+                n = np.linalg.norm(e)
+                embeddings.append(e / n if n > 1e-10 else e)
+                times.append((ws, we))
+            if progress_callback:
+                progress_callback(30 + 50 * min(b + bsz, len(slices))
+                                  / len(slices))
+        return np.stack(embeddings), times
+
+    def _segments_from_labels(self, window_times, labels):
+        if not window_times:
+            return []
+        segments = []
+        cs, ce, cl = window_times[0][0], window_times[0][1], labels[0]
+        for i in range(1, len(window_times)):
+            ws, we = window_times[i]
+            if labels[i] == cl and (ws - ce) < self.min_duration_off + 0.01:
+                ce = we
+            else:
+                segments.append({"start": float(cs), "end": float(ce),
+                                 "speaker": int(cl)})
+                cs, ce, cl = ws, we, labels[i]
+        segments.append({"start": float(cs), "end": float(ce),
+                         "speaker": int(cl)})
+        return segments
+
+    def process(self, audio, progress_callback=None):
+        audio = np.asarray(audio, np.float32)
+        if audio.ndim > 1:
+            audio = audio.mean(axis=1)
+        duration = len(audio) / SAMPLE_RATE
+        if duration < 0.5:
+            return []
+        speech_regions = self._pyannote_vad(audio) or [(0.0, duration)]
+        embeddings, times = self._sliding_window_embeddings(
+            audio, speech_regions, progress_callback)
+        if embeddings.shape[0] == 0:
+            return []
+
+        if self.num_speakers > 0:
+            min_spk = max_spk = self.num_speakers
+        else:
+            min_spk, max_spk = self.min_speakers, self.max_speakers
+        n = embeddings.shape[0]
+        if n <= 2:
+            labels = np.zeros(n, np.int32)
+        elif duration < 1200.0:
+            labels = senko_cluster(embeddings, cluster_type="spectral",
+                                   cluster_line=10, mer_cos=self.mer_cos,
+                                   min_cluster_size=4, min_num_spks=min_spk,
+                                   max_num_spks=15, pval=0.012)
+        else:
+            labels = senko_cluster(embeddings, cluster_type="umap_hdbscan",
+                                   cluster_line=10, mer_cos=self.mer_cos,
+                                   min_cluster_size=10, n_neighbors=40,
+                                   n_components=60, min_samples=20,
+                                   metric="cosine")
+
+        segments = self._segments_from_labels(times, labels)
+
+        # resolve window overlap at boundaries
+        for i in range(len(segments) - 1):
+            if segments[i]["end"] > segments[i + 1]["start"]:
+                mid = (segments[i]["end"] + segments[i + 1]["start"]) / 2
+                segments[i]["end"] = mid
+                segments[i + 1]["start"] = mid
+
+        # Senko post rules: merge gap <= 4 s; drop <= 0.78 s; final merge;
+        # re-rank by speaking time.
+        if len(segments) > 1:
+            merged = [segments[0]]
+            for seg in segments[1:]:
+                prev = merged[-1]
+                if seg["speaker"] == prev["speaker"] \
+                        and seg["start"] - prev["end"] <= 4.0:
+                    prev["end"] = seg["end"]
+                else:
+                    merged.append(seg)
+            segments = merged
+        if len(segments) > 1:
+            filtered = []
+            for i, seg in enumerate(segments):
+                if seg["end"] - seg["start"] > 0.78:
+                    filtered.append(seg)
+                else:
+                    prev_spk = filtered[-1]["speaker"] if filtered else None
+                    next_spk = segments[i + 1]["speaker"] \
+                        if i + 1 < len(segments) else None
+                    if prev_spk is not None and prev_spk == next_spk:
+                        filtered[-1]["end"] = seg["end"]
+            if filtered:
+                segments = filtered
+        if len(segments) > 1:
+            final = [segments[0]]
+            for seg in segments[1:]:
+                if seg["speaker"] == final[-1]["speaker"]:
+                    final[-1]["end"] = seg["end"]
+                else:
+                    final.append(seg)
+            segments = final
+
+        durs = {}
+        for seg in segments:
+            durs[seg["speaker"]] = durs.get(seg["speaker"], 0) \
+                + seg["end"] - seg["start"]
+        rerank = {old: new for new, old in enumerate(
+            sorted(durs, key=durs.get, reverse=True))}
+        for seg in segments:
+            seg["speaker"] = rerank[seg["speaker"]]
+        if progress_callback:
+            progress_callback(100)
+        return segments

@@ -308,6 +308,9 @@ class TranscriberPipeline:
                 word_speaker = dp.speaker_labels_for_words(
                     all_words, raw_speaker_segments)
                 self._emit("PHASE:Diarization|Done|100")
+                if self.config.get("overlap_separation", False):
+                    self._overlap_segments = self._run_overlap_separation(
+                        audio, raw_speaker_segments, decoder, timing)
             except Exception:
                 import logging
                 logging.getLogger(__name__).error("diarization failed",
@@ -403,9 +406,76 @@ class TranscriberPipeline:
             "execution_provider": "tpu",
             "stage_execution_providers": {},
             "asr_provider_info": {"backend": "jax", "device": "tpu"},
-            "overlap_segments": [],
+            "overlap_segments": getattr(self, "_overlap_segments", []) or [],
         }
         return result_data
+
+    def _run_overlap_separation(self, audio, raw_speaker_segments, decoder,
+                                timing):
+        """Conv-TasNet separation of 2-speaker overlap regions + re-ASR of
+        each stream (reference asr_engine.py:2758-2841). Returns parallel
+        overlap segments for the result's overlap_segments field."""
+        try:
+            overlap_regions = (list(self.diarizer.overlap_regions)
+                               if hasattr(self.diarizer, "overlap_regions")
+                               else [])
+            if not overlap_regions:
+                return []
+            t0 = time.time()
+            self._emit(f"PHASE:OverlapSep|Separating overlaps "
+                       f"({len(overlap_regions)} regions)|0")
+            from sherpa_vietnamese_asr_tpu.pipeline.overlap import (
+                OverlapSeparator,
+            )
+            sep = self.config.get("_overlap_separator") or OverlapSeparator()
+            seg_dicts = [{"start": s.start, "end": s.end,
+                          "speaker": s.speaker}
+                         for s in raw_speaker_segments]
+            results = sep.process(
+                audio, seg_dicts, overlap_regions,
+                progress_callback=lambda pct: self._emit(
+                    f"PHASE:OverlapSep|Separating overlaps|{int(pct)}"))
+            ov_segments = []
+            for ri, reg in enumerate(results):
+                self._emit(f"PHASE:OverlapSep|Re-ASR overlap "
+                           f"{ri + 1}/{len(results)}|"
+                           f"{int(50 + (ri + 1) / max(1, len(results)) * 40)}")
+                for spk, spk_audio in reg["audio_per_speaker"].items():
+                    real_s = reg["real_start_per_speaker"][spk]
+                    real_e = reg["real_end_per_speaker"][spk]
+                    try:
+                        words = decoder.decode_spans(
+                            spk_audio.astype(np.float32),
+                            [(0, len(spk_audio))])
+                        words = words[0] if not isinstance(words, tuple) \
+                            else words[0][0]
+                    except Exception:
+                        continue
+                    shift = reg["start"] - real_s
+                    kept = [dict(w, start=w["start"] + shift,
+                                 end=w["end"] + shift)
+                            for w in words
+                            if real_s <= (w["start"] + w["end"]) / 2
+                            <= real_e]
+                    text = " ".join(w["text"] for w in kept
+                                    if w.get("text")).strip()
+                    if not text:
+                        continue
+                    ov_segments.append({
+                        "speaker": f"Người nói {spk + 1}",
+                        "speaker_id": int(spk),
+                        "start": reg["start"], "end": reg["end"],
+                        "text": text, "raw_words": kept, "overlap": True,
+                    })
+            timing["overlap_separation"] = time.time() - t0
+            self._emit(f"PHASE:OverlapSep|Done "
+                       f"({len(ov_segments)} parallel segments)|100")
+            return ov_segments
+        except Exception:
+            import logging
+            logging.getLogger(__name__).error("overlap separation failed",
+                                              exc_info=True)
+            return []
 
     def _default_vad_prob_fn(self):
         """Silero-style VAD on device; random weights until ONNX import."""

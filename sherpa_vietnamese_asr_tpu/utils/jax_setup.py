@@ -21,9 +21,13 @@ def ensure_setup():
 
     if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         return  # explicit user choice wins
+    # Per-backend subdirectory: CPU AOT artifacts are machine-feature
+    # sensitive and must not be shared with TPU entries (or across hosts).
+    backend = os.environ.get("JAX_PLATFORMS", "") or "default"
     cache_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))), ".jax_cache")
+            os.path.abspath(__file__)))), ".jax_cache",
+        backend.replace(",", "_") or "default")
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -9,6 +9,9 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Label for the per-backend compile cache (utils/jax_setup.py).
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax  # noqa: E402
 
 # Force the CPU backend. The session env pins JAX_PLATFORMS to the TPU plugin

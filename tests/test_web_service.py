@@ -1,0 +1,206 @@
+# Web service integration tests: live HTTP server + queue over a stub
+# pipeline (model execution tested elsewhere).
+import json
+import threading
+import time
+import urllib.request
+import urllib.error
+
+import numpy as np
+import pytest
+
+
+class StubPipeline:
+    def __init__(self, path, model, config, progress_callback, cancel_check):
+        self.path = path
+        self.progress_callback = progress_callback
+        self.cancel_check = cancel_check
+
+    def run(self):
+        self.progress_callback("PHASE:Transcription|working|50")
+        if self.cancel_check and self.cancel_check():
+            return None
+        self.progress_callback("PHASE:Complete|done|100")
+        return {
+            "text": "xin chao",
+            "segments": [{"text": "xin chao", "start": 0.0, "end": 1.0}],
+            "timing": {"total": 0.1},
+            "duration_sec": 1.0,
+            "asr_confidence": 0.9,
+            "quality_info": None,
+            "overlap_segments": [],
+        }
+
+
+@pytest.fixture(scope="module")
+def service(tmp_path_factory):
+    from sherpa_vietnamese_asr_tpu.web_service.server import make_server
+
+    data_dir = str(tmp_path_factory.mktemp("webdata"))
+    server, state = make_server(
+        data_dir=data_dir,
+        model_provider=lambda name: None,
+        pipeline_factory=StubPipeline)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    yield base, state
+    server.shutdown()
+
+
+def _req(base, path, method="GET", body=None, headers=None, raw=None):
+    headers = dict(headers or {})
+    data = raw
+    if body is not None:
+        data = json.dumps(body).encode()
+        headers["Content-Type"] = "application/json"
+    req = urllib.request.Request(base + path, data=data, method=method,
+                                 headers=headers)
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status, json.loads(resp.read().decode())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read().decode())
+
+
+def test_full_upload_process_flow(service):
+    from sherpa_vietnamese_asr_tpu.utils.audio_io import write_wav
+    base, state = service
+
+    status, v = _req(base, "/api/version")
+    assert status == 200 and "version" in v
+
+    status, s = _req(base, "/api/session", "POST")
+    assert status == 200
+    sid = s["session_id"]
+    H = {"X-Session-Id": sid}
+
+    # upload a small wav
+    import io
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+        write_wav(f.name, np.zeros(16000, np.float32))
+        wav_bytes = open(f.name, "rb").read()
+    status, up = _req(base, "/api/upload", "POST",
+                      headers={**H, "X-Filename": "test.wav"},
+                      raw=wav_bytes)
+    assert status == 200
+    fid = up["file_id"]
+
+    status, pr = _req(base, f"/api/process/{fid}", "POST", body={}, headers=H)
+    assert status == 200
+
+    # poll status until completed
+    for _ in range(100):
+        status, st = _req(base, f"/api/files/{fid}/status", headers=H)
+        assert status == 200
+        if st["status"] == "completed":
+            break
+        time.sleep(0.05)
+    assert st["status"] == "completed"
+
+    status, res = _req(base, f"/api/files/{fid}/result", headers=H)
+    assert status == 200
+    assert res["result"]["text"] == "xin chao"
+    assert any(s["type"] == "text" for s in res["result"]["segments"])
+
+    # speaker rename persists
+    status, _ = _req(base, f"/api/files/{fid}/speakers", "POST",
+                     body={"speaker_names": {"0": "Alice"}}, headers=H)
+    assert status == 200
+    status, res2 = _req(base, f"/api/files/{fid}/result", headers=H)
+    assert res2["speaker_names"] == {"0": "Alice"}
+
+    # access control: another session cannot read the file
+    status, s2 = _req(base, "/api/session", "POST")
+    H2 = {"X-Session-Id": s2["session_id"]}
+    status, _ = _req(base, f"/api/files/{fid}/result", headers=H2)
+    assert status == 403
+
+
+def test_auth_and_admin_flow(service):
+    base, state = service
+    # wrong password x5 -> lockout 429
+    for i in range(5):
+        status, _ = _req(base, "/api/auth/login", "POST",
+                         body={"username": "ghost", "password": "x"})
+        assert status == 401
+    status, _ = _req(base, "/api/auth/login", "POST",
+                     body={"username": "ghost", "password": "x"})
+    assert status == 429
+    state.login_limiter.clear()
+    state.account_limiter.clear()
+
+    # admin login
+    status, login = _req(base, "/api/auth/login", "POST",
+                         body={"username": "admin", "password": "admin"})
+    assert status == 200
+    tok = {"Authorization": f"Bearer {login['token']}"}
+
+    status, me = _req(base, "/api/auth/me", headers=tok)
+    assert status == 200 and me["user"]["role"] == "admin"
+
+    # admin endpoints
+    status, stats = _req(base, "/api/admin/stats", headers=tok)
+    assert status == 200 and "files" in stats["stats"]
+    status, _ = _req(base, "/api/admin/users", "POST", headers=tok,
+                     body={"username": "alice", "password": "secret1"})
+    assert status == 200
+    status, users = _req(base, "/api/admin/users", headers=tok)
+    assert any(u["username"] == "alice" for u in users["users"])
+
+    # non-admin cannot reach admin endpoints
+    status, alogin = _req(base, "/api/auth/login", "POST",
+                          body={"username": "alice", "password": "secret1"})
+    atok = {"Authorization": f"Bearer {alogin['token']}"}
+    status, _ = _req(base, "/api/admin/stats", headers=atok)
+    assert status == 403
+
+    # logout revokes the token
+    status, _ = _req(base, "/api/auth/logout", "POST", headers=atok)
+    status, _ = _req(base, "/api/auth/me", headers=atok)
+    assert status == 401
+
+
+def test_queue_pause_resume_and_cancel(service):
+    base, state = service
+    status, login = _req(base, "/api/auth/login", "POST",
+                         body={"username": "admin", "password": "admin"})
+    tok = {"Authorization": f"Bearer {login['token']}"}
+    status, _ = _req(base, "/api/admin/queue/pause", "POST", headers=tok)
+    assert status == 200 and state.queue.paused
+    status, q = _req(base, "/api/admin/queue", headers=tok)
+    assert status == 200
+    status, _ = _req(base, "/api/admin/queue/resume", "POST", headers=tok)
+    assert not state.queue.paused
+
+
+def test_jwt_and_passwords():
+    from sherpa_vietnamese_asr_tpu.web_service.auth import (
+        JwtAuth, hash_password, verify_password,
+    )
+    auth = JwtAuth()
+    tok = auth.create_token({"user_id": 1})
+    assert auth.verify_token(tok)["user_id"] == 1
+    assert auth.verify_token(tok + "x") is None
+    auth.revoke_token(tok)
+    assert auth.verify_token(tok) is None
+    expired = auth.create_token({"user_id": 2}, ttl=-1)
+    assert auth.verify_token(expired) is None
+
+    h = hash_password("hunter2")
+    assert verify_password("hunter2", h)
+    assert not verify_password("hunter3", h)
+    assert hash_password("hunter2") != h  # salted
+
+
+def test_slider_confidence_mapping():
+    from sherpa_vietnamese_asr_tpu.web_service.queue_manager import (
+        slider_to_confidences,
+    )
+    p, c, bypass = slider_to_confidences(5, 5)
+    assert abs(p - (0.5 - 4 * 1.3 / 9)) < 1e-9
+    assert abs(c - (-1.5 + 4 * 2.0 / 9)) < 1e-9
+    assert not bypass
+    assert slider_to_confidences(1, 5)[2] is True
+    assert abs(slider_to_confidences(10, 10)[0] - (0.5 - 1.3)) < 1e-9
