@@ -28,7 +28,19 @@ from sherpa_vietnamese_asr_tpu.pipeline.merge import (  # noqa: F401
     merge_chunks_with_overlap,
     split_long_segments,
 )
+from sherpa_vietnamese_asr_tpu.pipeline.asr_json import (  # noqa: F401
+    deserialize_segments,
+    serialize_segments,
+)
+from sherpa_vietnamese_asr_tpu.pipeline.diarization import (  # noqa: F401
+    SPEAKER_EMBEDDING_MODELS,
+    SpeakerDiarizer,
+    run_diarization,
+)
 from sherpa_vietnamese_asr_tpu.pipeline.transcriber import (  # noqa: F401
     TranscriberPipeline,
+)
+from sherpa_vietnamese_asr_tpu.pipeline.vad import (  # noqa: F401
+    get_vad_segments,
 )
 from sherpa_vietnamese_asr_tpu.utils.audio_io import load_audio  # noqa: F401

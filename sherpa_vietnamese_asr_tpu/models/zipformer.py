@@ -445,8 +445,21 @@ def zipformer_encoder(params, x, x_lens, cfg: ZipformerConfig = ZIPFORMER_30M):
         stack_lens = (lens + ds - 1) // ds
         pad_mask = jnp.arange(t_ds)[None, :] >= stack_lens[:, None]
         pos_emb = jnp.asarray(compact_rel_pos_emb(t_ds, cfg.pos_dim))
-        for layer in stack["layers"]:
-            hs = encoder_layer(layer, hs, pos_emb, pad_mask, heads, cfg)
+        if len(stack["layers"]) == 1:
+            hs = encoder_layer(stack["layers"][0], hs, pos_emb, pad_mask,
+                               heads, cfg)
+        else:
+            # Scan over stacked layer params: one traced layer body per
+            # stack instead of num_layers copies (compile time on the
+            # single-core host is the bottleneck; numerics identical).
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                   *stack["layers"])
+
+            def body(carry, layer_params):
+                return encoder_layer(layer_params, carry, pos_emb, pad_mask,
+                                     heads, cfg), None
+
+            hs, _ = jax.lax.scan(body, hs, stacked)
         hs = simple_upsample(hs, ds)[:, :t_full]
         h = _bypass(stack["out_bypass_scale"], h_orig, hs) if ds != 1 else hs
         outputs.append(h)

@@ -1,0 +1,92 @@
+# Online (no-VAD) streaming recognizer: endpoint rules and session behavior.
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def model():
+    from sherpa_vietnamese_asr_tpu.models.registry import (
+        TINY_ZIPFORMER, random_asr_model,
+    )
+    return random_asr_model(vocab_size=60, zip_cfg=TINY_ZIPFORMER, beam_size=1)
+
+
+def test_endpoint_rules(model):
+    from sherpa_vietnamese_asr_tpu.pipeline.streaming_online import (
+        OnlineRecognizer,
+    )
+    rec = OnlineRecognizer(model, max_window_sec=8.0)
+    # rule1: nothing decoded + trailing silence >= 3 s
+    rec.accept_waveform(np.zeros(int(3.5 * 16000), np.float32))
+    rec._last_words = []
+    rec._last_text = ""
+    assert rec.is_endpoint()
+    rec.reset()
+    assert not rec.is_endpoint() or rec.utterance_length_sec() == 0
+
+    # rule2: decoded text + >= 2 s trailing silence
+    rec.accept_waveform(np.zeros(int(3.0 * 16000), np.float32))
+    rec._last_text = "xin chao"
+    rec._last_words = [{"text": "chao", "start": 0.5, "end": 0.8}]
+    assert rec.trailing_silence_sec() >= 2.0
+    assert rec.is_endpoint()
+
+    # rule3: very long utterance
+    rec.reset()
+    rec.rule3 = 1.0
+    rec.accept_waveform(np.zeros(int(1.2 * 16000), np.float32))
+    rec._last_words = [{"text": "a", "start": 0.0, "end": 1.1}]
+    rec._last_text = "a"
+    assert rec.is_endpoint()
+
+
+def test_online_session_emits_partials_and_finals(model, monkeypatch):
+    """Endpoint/session behavior with a deterministic energy-based decode
+    stub (random weights would emit tokens on silence, masking rule2)."""
+    from sherpa_vietnamese_asr_tpu.pipeline import streaming_online as so
+
+    def fake_decode(self):
+        self._pending = 0
+        buf = self.buffer
+        win = 800
+        words = []
+        n = len(buf) // win
+        for i in range(n):
+            if np.sqrt((buf[i * win: (i + 1) * win] ** 2).mean()) > 0.02:
+                t = i * win / 16000.0
+                words.append({"text": f"w{i}", "start": t, "end": t + 0.05})
+        self._last_words = words
+        self._last_text = " ".join(w["text"] for w in words)
+
+    monkeypatch.setattr(so.OnlineRecognizer, "decode", fake_decode)
+
+    events = []
+    sess = so.OnlineStreamingSession(
+        model, lambda t, f, ts: events.append((t, f, ts)),
+        chunk_sec=0.32, max_window_sec=6.0,
+        rule2_min_trailing_silence=0.8, rule1_min_trailing_silence=1.5,
+        decode_throttle_sec=0.32)
+    sr = 16000
+    tone = (0.3 * np.sin(2 * np.pi * 300 * np.arange(sr) / sr)
+            ).astype(np.float32)
+    sess.insert_speaker("Bob")
+    for i in range(0, sr, 800):
+        sess.push_chunk(tone[i: i + 800])
+    for _ in range(40):  # trailing silence -> rule2 endpoint
+        sess.push_chunk(np.zeros(800, np.float32))
+    finals = [e for e in events if e[1]]
+    assert finals, f"no finals in {events[:5]}"
+    seps = [e for e in finals if "__SPK_SEP__Bob__SPK_SEP__" in e[0]]
+    assert len(seps) == 1
+    partials = [e for e in events if not e[1]]
+    assert partials
+
+
+def test_window_bounding(model):
+    from sherpa_vietnamese_asr_tpu.pipeline.streaming_online import (
+        OnlineRecognizer,
+    )
+    rec = OnlineRecognizer(model, max_window_sec=2.0)
+    rec.accept_waveform(np.zeros(16000 * 5, np.float32))
+    assert len(rec.buffer) == 16000 * 2
+    assert rec.total_samples == 16000 * 5
