@@ -130,8 +130,9 @@ def _beam_step(state, t, enc_t, dec_params, joi_params, cfg: RnntConfig,
     new_frames = jnp.where(at_pos, t, p_frames)
     tok_lp = jnp.take_along_axis(log_probs[hi], tok[:, None], axis=1)[:, 0]
     new_tok_logp = jnp.where(at_pos, tok_lp[:, None], p_tok_logp)
+    # entropy carried as [beam, 4, U] so U stays the (128-)lane dimension
     ent = _entropy_metrics(logits, v)[hi]                     # [beam, 4]
-    new_ent = jnp.where(at_pos[:, :, None], ent[:, None, :], p_ent)
+    new_ent = jnp.where(at_pos[:, None, :], ent[:, :, None], p_ent)
     new_n = p_n + (~is_blank).astype(jnp.int32)
 
     new_score = top_scores
@@ -191,7 +192,7 @@ def _beam_search_single(enc_out, enc_len, dec_params, joi_params,
         "tokens": jnp.zeros((beam, u_max), jnp.int32),
         "frames": jnp.zeros((beam, u_max), jnp.int32),
         "tok_logp": jnp.zeros((beam, u_max), jnp.float32),
-        "entropy": jnp.zeros((beam, u_max, 4), jnp.float32),
+        "entropy": jnp.zeros((beam, 4, u_max), jnp.float32),
         "n_emit": jnp.zeros((beam,), jnp.int32),
         "logp": jnp.full((beam,), NEG_INF, jnp.float32).at[0].set(0.0),
         "hw_state": jnp.zeros((beam,), jnp.int32),
@@ -214,7 +215,7 @@ def _beam_search_single(enc_out, enc_len, dec_params, joi_params,
     norm = jnp.maximum(state["n_emit"] + cfg.context_size, 1).astype(jnp.float32)
     best = jnp.argmax(logp / norm)
     return (state["tokens"][best], state["frames"][best],
-            state["tok_logp"][best], state["entropy"][best],
+            state["tok_logp"][best], state["entropy"][best].T,
             state["n_emit"][best], logp[best])
 
 
