@@ -258,9 +258,145 @@ def load_zipformer_rnnt(model_dir, zcfg, rcfg):
     map_initializers(joi_init, joi_map, label="joiner")
     map_initializers(dec_init, dec_map, label="decoder")
 
-    # Encoder mapping is large; raise a diagnostic report until validated
-    # against a real checkpoint (no model assets ship in this environment).
-    raise ImportReport(
-        "Zipformer encoder ONNX name-map pending validation against a real "
-        f"checkpoint. Found {len(enc_init)} initializers, e.g. "
-        f"{sorted(enc_init)[:12]}")
+    import jax
+
+    from sherpa_vietnamese_asr_tpu.models.zipformer import (
+        init_zipformer_params,
+    )
+
+    enc_params = init_zipformer_params(jax.random.PRNGKey(0), zcfg)
+    enc_map = zipformer_name_map(enc_params, zcfg)
+    missing = map_initializers(enc_init, enc_map, strict=False,
+                               label="encoder")
+    if missing:
+        # The torch-export initializer names have NOT yet been validated
+        # against a real checkpoint (none ship in this environment). Raise a
+        # full diagnostic so completing the map is mechanical.
+        unused = sorted(set(enc_init) - set(enc_map))
+        raise ImportReport(
+            f"[encoder] {len(missing)}/{len(enc_map)} expected tensors "
+            f"missing, e.g. {missing[:6]}; {len(unused)} unmatched names in "
+            f"the file, e.g. {unused[:12]}")
+    return enc_params, dec_params, joi_params
+
+
+def zipformer_name_map(params, zcfg):
+    """Expected torch state-dict initializer names -> pytree setters for the
+    Zipformer2 encoder (icefall zipformer.py module naming). Transforms:
+    torch Linear [out,in] -> [in,out]; Conv2d [out,in,kh,kw] -> HWIO;
+    depthwise Conv1d [ch,1,k] -> [k,ch]."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    def setter(node, key):
+        def set_fn(arr):
+            node[key] = jnp.asarray(arr)
+        return set_fn
+
+    def lin_t(a):
+        return np.ascontiguousarray(a.T)
+
+    def conv2d_t(a):  # [O, I, kh, kw] -> [kh, kw, I, O]
+        return np.ascontiguousarray(np.transpose(a, (2, 3, 1, 0)))
+
+    def dw1d_t(a):  # [C, 1, K] -> [K, C]
+        return np.ascontiguousarray(np.transpose(a[:, 0, :], (1, 0)))
+
+    m = {}
+    emb = params["encoder_embed"]
+    # Conv2dSubsampling convs are a Sequential with activations between:
+    # indices 0, 2, 4 in icefall's zipformer2 subsampling.
+    for src_idx, dst in (("0", "conv1"), ("2", "conv2"), ("4", "conv3")):
+        m[f"encoder_embed.conv.{src_idx}.weight"] = (
+            setter(emb[dst], "weight"), conv2d_t)
+        m[f"encoder_embed.conv.{src_idx}.bias"] = (
+            setter(emb[dst], "bias"), None)
+    m["encoder_embed.convnext.depthwise_conv.weight"] = (
+        setter(emb["convnext_dw"], "weight"), conv2d_t)
+    m["encoder_embed.convnext.depthwise_conv.bias"] = (
+        setter(emb["convnext_dw"], "bias"), None)
+    m["encoder_embed.convnext.pointwise_conv1.weight"] = (
+        setter(emb["convnext_pw1"], "weight"),
+        lambda a: lin_t(a.reshape(a.shape[0], -1)))
+    m["encoder_embed.convnext.pointwise_conv1.bias"] = (
+        setter(emb["convnext_pw1"], "bias"), None)
+    m["encoder_embed.convnext.pointwise_conv2.weight"] = (
+        setter(emb["convnext_pw2"], "weight"),
+        lambda a: lin_t(a.reshape(a.shape[0], -1)))
+    m["encoder_embed.convnext.pointwise_conv2.bias"] = (
+        setter(emb["convnext_pw2"], "bias"), None)
+    m["encoder_embed.out.weight"] = (setter(emb["out"], "weight"), lin_t)
+    m["encoder_embed.out.bias"] = (setter(emb["out"], "bias"), None)
+    m["encoder_embed.out_norm.bias"] = (setter(emb["out_norm"], "bias"), None)
+    m["encoder_embed.out_norm.log_scale"] = (
+        setter(emb["out_norm"], "log_scale"), None)
+
+    for i, stack in enumerate(params["stacks"]):
+        ds = zcfg.downsampling_factor[i]
+        # Non-downsampled stacks are Zipformer2Encoder ("encoder.encoders.i.
+        # layers.j"); downsampled stacks wrap it ("...i.encoder.layers.j").
+        base = f"encoder.encoders.{i}" + ("" if ds == 1 else ".encoder")
+        if ds != 1:
+            m[f"encoder.encoders.{i}.downsample.bias"] = (
+                setter(stack["downsample"], "weights"), None)
+            m[f"encoder.encoders.{i}.out_combiner.bypass_scale"] = (
+                setter(stack, "out_bypass_scale"), None)
+        for j, layer in enumerate(stack["layers"]):
+            lb = f"{base}.layers.{j}"
+            m[f"{lb}.self_attn_weights.in_proj.weight"] = (
+                setter(layer["attn_in_proj"], "weight"), lin_t)
+            m[f"{lb}.self_attn_weights.in_proj.bias"] = (
+                setter(layer["attn_in_proj"], "bias"), None)
+            m[f"{lb}.self_attn_weights.linear_pos.weight"] = (
+                setter(layer["attn_pos_proj"], "weight"), lin_t)
+            for k in (1, 2):
+                m[f"{lb}.self_attn{k}.in_proj.weight"] = (
+                    setter(layer[f"self_attn{k}"]["in_proj"], "weight"),
+                    lin_t)
+                m[f"{lb}.self_attn{k}.in_proj.bias"] = (
+                    setter(layer[f"self_attn{k}"]["in_proj"], "bias"), None)
+                m[f"{lb}.self_attn{k}.out_proj.weight"] = (
+                    setter(layer[f"self_attn{k}"]["out_proj"], "weight"),
+                    lin_t)
+                m[f"{lb}.self_attn{k}.out_proj.bias"] = (
+                    setter(layer[f"self_attn{k}"]["out_proj"], "bias"), None)
+            for k, ff in ((1, "ff1"), (2, "ff2"), (3, "ff3")):
+                m[f"{lb}.feed_forward{k}.in_proj.weight"] = (
+                    setter(layer[ff]["in"], "weight"), lin_t)
+                m[f"{lb}.feed_forward{k}.in_proj.bias"] = (
+                    setter(layer[ff]["in"], "bias"), None)
+                m[f"{lb}.feed_forward{k}.out_proj.weight"] = (
+                    setter(layer[ff]["out"], "weight"), lin_t)
+                m[f"{lb}.feed_forward{k}.out_proj.bias"] = (
+                    setter(layer[ff]["out"], "bias"), None)
+            m[f"{lb}.nonlin_attention.in_proj.weight"] = (
+                setter(layer["nonlin_attn"]["in_proj"], "weight"), lin_t)
+            m[f"{lb}.nonlin_attention.in_proj.bias"] = (
+                setter(layer["nonlin_attn"]["in_proj"], "bias"), None)
+            m[f"{lb}.nonlin_attention.out_proj.weight"] = (
+                setter(layer["nonlin_attn"]["out_proj"], "weight"), lin_t)
+            m[f"{lb}.nonlin_attention.out_proj.bias"] = (
+                setter(layer["nonlin_attn"]["out_proj"], "bias"), None)
+            for k, cv in ((1, "conv1"), (2, "conv2")):
+                m[f"{lb}.conv_module{k}.in_proj.weight"] = (
+                    setter(layer[cv]["in_proj"], "weight"), lin_t)
+                m[f"{lb}.conv_module{k}.in_proj.bias"] = (
+                    setter(layer[cv]["in_proj"], "bias"), None)
+                m[f"{lb}.conv_module{k}.depthwise_conv.weight"] = (
+                    setter(layer[cv], "dw_weight"), dw1d_t)
+                m[f"{lb}.conv_module{k}.depthwise_conv.bias"] = (
+                    setter(layer[cv], "dw_bias"), None)
+                m[f"{lb}.conv_module{k}.out_proj.weight"] = (
+                    setter(layer[cv]["out_proj"], "weight"), lin_t)
+                m[f"{lb}.conv_module{k}.out_proj.bias"] = (
+                    setter(layer[cv]["out_proj"], "bias"), None)
+            m[f"{lb}.norm.bias"] = (setter(layer["norm"], "bias"), None)
+            m[f"{lb}.norm.log_scale"] = (
+                setter(layer["norm"], "log_scale"), None)
+            m[f"{lb}.bypass.bypass_scale"] = (
+                setter(layer, "bypass_scale"), None)
+            m[f"{lb}.bypass_mid.bypass_scale"] = (
+                setter(layer, "bypass_mid_scale"), None)
+    m["encoder.downsample_output.bias"] = (
+        setter(params["downsample_output"], "weights"), None)
+    return m

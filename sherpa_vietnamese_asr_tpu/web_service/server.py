@@ -379,6 +379,142 @@ class Handler(BaseHTTPRequestHandler):
                                                    ensure_ascii=False))
         self._send_json({"ok": True})
 
+    def ep_split_speaker(self, file_id):
+        """Split a speaker at a text segment (reference server.py:1325-1422):
+        inserts a speaker separator before the target segment, with scope
+        'single' restoring the original speaker afterwards."""
+        import html as _html
+
+        file_id = int(file_id)
+        rec = self.state.db.get_file(file_id)
+        self._check_file_access(rec)
+        body = self._read_json()
+        seg_index = body.get("seg_index")
+        new_speaker = _html.escape(
+            str(body.get("new_speaker", "")).strip()[:200], quote=False)
+        scope = body.get("scope", "to_end")
+        if seg_index is None or not rec.get("asr_result_json"):
+            raise ApiError(400, "Invalid request")
+        data = json.loads(rec["asr_result_json"])
+        segments = data.get("segments", [])
+        speaker_names = data.get("speaker_names", {})
+
+        max_id = max([s.get("speaker_id", 0) for s in segments
+                      if s.get("type") == "speaker"] + [-1])
+        new_id = None
+        for sid, name in speaker_names.items():
+            if name == new_speaker:
+                new_id = int(sid)
+                break
+        if new_id is None:
+            new_id = max_id + 1
+            speaker_names[str(new_id)] = new_speaker
+
+        text_idx = 0
+        target_pos = None
+        current_sep = None
+        for i, seg in enumerate(segments):
+            if seg.get("type") == "speaker":
+                current_sep = seg
+            elif seg.get("type") == "text":
+                if text_idx == int(seg_index):
+                    target_pos = i
+                    break
+                text_idx += 1
+        if target_pos is not None:
+            segments.insert(target_pos, {
+                "type": "speaker", "speaker": new_speaker,
+                "speaker_id": new_id,
+                "start_time": segments[target_pos + 1].get("start_time", 0)
+                if target_pos + 1 < len(segments) else 0,
+            })
+            if scope == "single" and current_sep:
+                restore_pos = target_pos + 2
+                restore_time = (segments[restore_pos].get("start_time", 0)
+                                if restore_pos < len(segments) else 0)
+                segments.insert(restore_pos, {
+                    "type": "speaker",
+                    "speaker": current_sep.get("speaker", ""),
+                    "speaker_id": current_sep.get("speaker_id", 0),
+                    "start_time": restore_time,
+                })
+        data["segments"] = segments
+        data["speaker_names"] = speaker_names
+        self.state.db.update_file(
+            file_id,
+            asr_result_json=json.dumps(data, ensure_ascii=False),
+            speaker_names_json=json.dumps(speaker_names, ensure_ascii=False))
+        self._send_json({"success": True, "result": data})
+
+    def ep_merge_speaker(self, file_id):
+        """Merge a speaker block up/down, optionally partially at seg_index
+        (reference server.py:1424-1535)."""
+        file_id = int(file_id)
+        rec = self.state.db.get_file(file_id)
+        self._check_file_access(rec)
+        body = self._read_json()
+        block_index = body.get("block_index")
+        direction = body.get("direction", "up")
+        seg_index = body.get("seg_index")
+        if block_index is None or not rec.get("asr_result_json"):
+            raise ApiError(400, "Invalid request")
+        data = json.loads(rec["asr_result_json"])
+        segments = data.get("segments", [])
+        sep_idx = [i for i, s in enumerate(segments)
+                   if s.get("type") == "speaker"]
+        block_index = int(block_index)
+        if block_index < 0 or block_index >= len(sep_idx):
+            raise ApiError(400, "Invalid block index")
+        cur_i = sep_idx[block_index]
+        cur_sep = segments[cur_i]
+
+        actual = None
+        if seg_index is not None:
+            count = 0
+            for i, s in enumerate(segments):
+                if s.get("type") == "text":
+                    if count == int(seg_index):
+                        actual = i
+                        break
+                    count += 1
+        next_i = (sep_idx[block_index + 1]
+                  if block_index + 1 < len(sep_idx) else len(segments))
+        block_texts = [i for i in range(cur_i + 1, next_i)
+                       if segments[i].get("type") == "text"]
+
+        if direction == "up" and block_index > 0:
+            last = (actual is None or not block_texts
+                    or actual >= block_texts[-1])
+            segments.pop(cur_i)
+            if not last:
+                insert_pos = actual  # actual shifted -1 by pop, +1 to insert after
+                restore_time = (segments[insert_pos].get("start_time", 0)
+                                if insert_pos < len(segments) else 0)
+                segments.insert(insert_pos, {
+                    "type": "speaker",
+                    "speaker": cur_sep.get("speaker", ""),
+                    "speaker_id": cur_sep.get("speaker_id", 0),
+                    "start_time": restore_time,
+                })
+        elif direction == "down" and block_index < len(sep_idx) - 1:
+            nxt_i = sep_idx[block_index + 1]
+            nxt_sep = segments[nxt_i]
+            first = (actual is None or not block_texts
+                     or actual <= block_texts[0])
+            segments.pop(nxt_i)
+            if not first:
+                segments.insert(actual, {
+                    "type": "speaker",
+                    "speaker": nxt_sep.get("speaker", ""),
+                    "speaker_id": nxt_sep.get("speaker_id", 0),
+                    "start_time": segments[actual].get("start_time", 0)
+                    if actual < len(segments) else 0,
+                })
+        data["segments"] = segments
+        self.state.db.update_file(
+            file_id, asr_result_json=json.dumps(data, ensure_ascii=False))
+        self._send_json({"success": True, "result": data})
+
     def ep_user_files(self):
         user = self._require_auth()
         self._send_json({"files": [
@@ -582,6 +718,8 @@ ROUTES = [
     (r"/api/files/(\d+)/status", "GET", Handler.ep_status),
     (r"/api/files/(\d+)/result", "GET", Handler.ep_result),
     (r"/api/files/(\d+)/speakers", "POST", Handler.ep_rename_speakers),
+    (r"/api/files/(\d+)/split-speaker", "POST", Handler.ep_split_speaker),
+    (r"/api/files/(\d+)/merge-speaker", "POST", Handler.ep_merge_speaker),
     (r"/api/files/(\d+)/summarize", "POST", Handler.ep_summarize),
     (r"/api/files/(\d+)/summary", "GET", Handler.ep_get_summary),
     (r"/api/summarizer/status", "GET", Handler.ep_summarizer_status),

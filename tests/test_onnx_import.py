@@ -115,5 +115,74 @@ def test_joiner_decoder_mapping(tmp_path, rng):
     (tmp_path / "joiner-model.onnx").write_bytes(make_onnx(jd))
 
     from sherpa_vietnamese_asr_tpu.models.zipformer import ZipformerConfig
-    with pytest.raises(ImportReport, match="encoder ONNX name-map pending"):
+    with pytest.raises(ImportReport, match="expected tensors missing"):
         load_zipformer_rnnt(str(tmp_path), ZipformerConfig(), rcfg)
+
+
+def test_encoder_roundtrip_via_name_map(tmp_path, rng):
+    """Synthesize an encoder ONNX carrying torch-layout versions of a known
+    parameter tree (tiny config), load it through the name map, and verify
+    the loaded tree equals the original leaf-for-leaf."""
+    import jax
+    import jax.numpy as jnp
+
+    from sherpa_vietnamese_asr_tpu.models.onnx_import import (
+        load_zipformer_rnnt, zipformer_name_map,
+    )
+    from sherpa_vietnamese_asr_tpu.models.registry import TINY_ZIPFORMER
+    from sherpa_vietnamese_asr_tpu.models.rnnt import RnntConfig
+    from sherpa_vietnamese_asr_tpu.models.zipformer import (
+        init_zipformer_params, zipformer_encoder,
+    )
+
+    zcfg = TINY_ZIPFORMER
+    ref_params = init_zipformer_params(jax.random.PRNGKey(5), zcfg)
+    ref_map = zipformer_name_map(ref_params, zcfg)
+
+    def read_dest(set_fn):
+        names = set_fn.__code__.co_freevars
+        cells = {n: c.cell_contents
+                 for n, c in zip(names, set_fn.__closure__)}
+        return np.asarray(cells["node"][cells["key"]])
+
+    tensors = {}
+    for src_name, (set_fn, transform) in ref_map.items():
+        dest = read_dest(set_fn)
+        if transform is None:
+            t = dest
+        elif "depthwise_conv.weight" in src_name and dest.ndim == 2:
+            t = np.ascontiguousarray(dest.T)[:, None, :]  # [C,1,K]
+        elif dest.ndim == 2:
+            t = np.ascontiguousarray(dest.T)  # torch Linear [out,in]
+        elif dest.ndim == 4:
+            t = np.ascontiguousarray(np.transpose(dest, (3, 2, 0, 1)))
+        else:
+            t = dest
+        tensors[src_name] = np.asarray(t, np.float32)
+
+    rcfg = RnntConfig(vocab_size=30, decoder_dim=16, joiner_dim=12,
+                      encoder_out_dim=zcfg.output_dim)
+    jd = {
+        "encoder_proj.weight": rng.standard_normal(
+            (12, zcfg.output_dim)).astype(np.float32),
+        "encoder_proj.bias": rng.standard_normal(12).astype(np.float32),
+        "decoder_proj.weight": rng.standard_normal((12, 16)).astype(np.float32),
+        "decoder_proj.bias": rng.standard_normal(12).astype(np.float32),
+        "output_linear.weight": rng.standard_normal((30, 12)).astype(np.float32),
+        "output_linear.bias": rng.standard_normal(30).astype(np.float32),
+    }
+    dd = {
+        "embedding.weight": rng.standard_normal((30, 16)).astype(np.float32),
+        "conv.weight": rng.standard_normal((16, 4, 2)).astype(np.float32),
+    }
+    (tmp_path / "encoder-model.onnx").write_bytes(make_onnx(tensors))
+    (tmp_path / "decoder-model.onnx").write_bytes(make_onnx(dd))
+    (tmp_path / "joiner-model.onnx").write_bytes(make_onnx(jd))
+
+    enc, dec, joi = load_zipformer_rnnt(str(tmp_path), zcfg, rcfg)
+    for a, b in zip(jax.tree.leaves(enc), jax.tree.leaves(ref_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    x = rng.standard_normal((1, 87, 80)).astype(np.float32)
+    out, _ = zipformer_encoder(enc, jnp.asarray(x),
+                               jnp.asarray(np.array([87])), zcfg)
+    assert np.isfinite(np.asarray(out)).all()
