@@ -41,6 +41,10 @@ class ZipformerConfig:
     pos_head_dim: int = 4
     value_head_dim: int = 12
     pos_dim: int = 48
+    # dtype of the relative-position score tensor ([B,H,T,2T-1] — the
+    # largest intermediate in the model; bf16 halves its HBM traffic).
+    # Set "float32" for strict-parity runs.
+    pos_dtype: str = "bfloat16"
     # Conv2dSubsampling channels
     embed_layer1_channels: int = 8
     embed_layer2_channels: int = 32
@@ -277,15 +281,22 @@ def _attention_weights(p, x, pos_emb, mask, heads, cfg):
     pq = proj[..., 2 * heads * qd:].reshape(b, t, heads, pd)
     # Content scores
     scores = jnp.einsum("bthd,bshd->bhts", q, k)
-    # Positional scores: project pos_emb, gather relative offsets
-    pos_lin = (pos_emb.astype(dt) @ p["attn_pos_proj"]["weight"].astype(dt))
+    # Positional scores. We need pos[b,h,t,s] = pq[b,t,h] . pos_lin[t-s+T-1].
+    # A take_along_axis gather over the minor axis is pathologically slow on
+    # TPU (it dominated the whole encoder); instead compute against the
+    # ROW-REVERSED pos table and realign with the Transformer-XL skew trick —
+    # pad + flat-slice + reshape, all layout ops.
+    pt = jnp.dtype(cfg.pos_dtype)
+    pos_lin = (pos_emb[::-1].astype(pt)
+               @ p["attn_pos_proj"]["weight"].astype(pt))
     pos_lin = pos_lin.reshape(2 * t - 1, heads, pd)
-    pos_scores_full = jnp.einsum("bthd,rhd->bhtr", pq, pos_lin)  # [B,H,T,2T-1]
-    rel_idx = jnp.asarray(
-        (np.arange(t)[:, None] - np.arange(t)[None, :]) + (t - 1),
-        dtype=jnp.int32)  # [T, T], r = t-s+T-1
-    pos_scores = jnp.take_along_axis(
-        pos_scores_full, rel_idx[None, None, :, :], axis=-1)
+    pos_full = jnp.einsum("bthd,rhd->bhtr", pq.astype(pt),
+                          pos_lin)  # [B,H,T,2T-1]
+    # skew: y[..., t, s] = pos_full[..., t, s + (T-1-t)]
+    padded = jnp.pad(pos_full, ((0, 0), (0, 0), (0, 0), (0, 1)))
+    flat = padded.reshape(b, heads, 2 * t * t)
+    flat = jax.lax.slice_in_dim(flat, t - 1, t - 1 + t * (2 * t - 1), axis=2)
+    pos_scores = flat.reshape(b, heads, t, 2 * t - 1)[..., :t]
     scores = (scores + pos_scores).astype(jnp.float32)
     if mask is not None:
         scores = jnp.where(mask[:, None, None, :], -1e9, scores)
