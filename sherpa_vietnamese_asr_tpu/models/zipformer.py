@@ -45,6 +45,10 @@ class ZipformerConfig:
     # largest intermediate in the model; bf16 halves its HBM traffic).
     # Set "float32" for strict-parity runs.
     pos_dtype: str = "bfloat16"
+    # Fused Pallas attention-weights kernel (ops/attention.py): "auto" uses
+    # it on TPU backends, "never"/"always" force. The XLA path is the
+    # numeric fallback/oracle.
+    attention_kernel: str = "auto"
     # Conv2dSubsampling channels
     embed_layer1_channels: int = 8
     embed_layer2_channels: int = 32
@@ -279,6 +283,17 @@ def _attention_weights(p, x, pos_emb, mask, heads, cfg):
     q = proj[..., : heads * qd].reshape(b, t, heads, qd)
     k = proj[..., heads * qd: 2 * heads * qd].reshape(b, t, heads, qd)
     pq = proj[..., 2 * heads * qd:].reshape(b, t, heads, pd)
+    use_kernel = cfg.attention_kernel == "always" or (
+        cfg.attention_kernel == "auto"
+        and jax.default_backend() not in ("cpu",))
+    if use_kernel:
+        from sherpa_vietnamese_asr_tpu.ops.attention import (
+            attention_weights_pallas,
+        )
+        return attention_weights_pallas(
+            q.astype(jnp.float32), k.astype(jnp.float32),
+            pq.astype(jnp.float32), p["attn_pos_proj"]["weight"], pos_emb,
+            mask, cfg)
     # Content scores
     scores = jnp.einsum("bthd,bshd->bhts", q, k)
     # Positional scores. We need pos[b,h,t,s] = pq[b,t,h] . pos_lin[t-s+T-1].

@@ -1,0 +1,163 @@
+# Fused Zipformer attention-weights Pallas kernel.
+#
+# Computes softmax(q k^T + rel_pos) for one (batch, head) row-block per grid
+# step, entirely in VMEM:
+#   * content scores on the MXU;
+#   * relative-position scores as a BANDED matmul against a row-reversed
+#     position table plus an in-kernel skew realignment (pad/flat/reshape) —
+#     the XLA fallback materializes a [B,H,T,2T-1] tensor; the band only
+#     needs [R, T+R-1] per block;
+#   * key-padding mask + numerically-stable softmax in fp32;
+#   * output attention weights in bf16 (largest consumer traffic halved).
+#
+# This is the encoder's hot op (reference equivalent: the ORT encoder's
+# attention inside encoder-*.onnx). The XLA path in models/zipformer.py
+# remains as the CPU/parity fallback and as the numeric oracle in tests.
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROW_BLOCK = 128
+
+
+def _attn_kernel(lens_ref, q_ref, k_ref, p_ref, poslin_ref, out_ref,
+                 *, t_pad, heads, neg):
+    bh = pl.program_id(0)
+    i = pl.program_id(1)
+    b = bh // heads
+
+    q = q_ref[0]            # [R, qd]
+    k = k_ref[0]            # [T, qd]
+    p = p_ref[0]            # [R, pd]
+    scores = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [R, T]
+
+    # Banded position scores: rows j = s + (T-1) - t of the REVERSED pos
+    # table, t = i*R + t'. Local band column = s + (R-1) - t'.
+    r = ROW_BLOCK
+    start = t_pad - r - i * r
+    pos_sub = poslin_ref[0, pl.ds(start, t_pad + r - 1), :]  # [T+R-1, pd]
+    band = jax.lax.dot_general(
+        p, pos_sub, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [R, T+R-1]
+    # skew: out[t', s] = band[t', s + (R-1-t')]. Mosaic has no flat-reshape
+    # skew, so apply per-row shifts via log2(R) conditional rolls: row t'
+    # needs a left-roll of (R-1-t'); decompose the shift into binary bits.
+    band = jnp.pad(band, ((0, 0), (0, 1)))          # [R, T+R]
+    width = t_pad + r
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+    shifts = (r - 1) - row_ids                      # [R, 1]
+    acc = band
+    k_bit = 1
+    while k_bit < r:
+        rolled = pltpu.roll(acc, width - k_bit, axis=1)  # left-roll k_bit
+        acc = jnp.where((shifts & k_bit) != 0, rolled, acc)
+        k_bit <<= 1
+    pos_scores = acc[:, :t_pad]
+
+    scores = scores + pos_scores
+    # key padding mask
+    valid = jax.lax.broadcasted_iota(jnp.int32, (1, t_pad), 1) < lens_ref[b]
+    scores = jnp.where(valid, scores, neg)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    out_ref[0] = (e / s).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads",))
+def _attn_weights_pallas(q, k, p, pos_lin, lens, heads):
+    """q,k: [BH, T, qd]; p: [BH, T, pd]; pos_lin: [H, 2T-1, pd]; lens [B].
+
+    T must be a multiple of ROW_BLOCK. Returns [BH, T, T] bf16.
+    """
+    bh, t_pad, qd = q.shape
+    pd = p.shape[-1]
+    grid = (bh, t_pad // ROW_BLOCK)
+    kernel = functools.partial(_attn_kernel, t_pad=t_pad, heads=heads,
+                               neg=-1e9)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # lens
+            pl.BlockSpec((1, ROW_BLOCK, qd), lambda bhi, i: (bhi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, qd), lambda bhi, i: (bhi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ROW_BLOCK, pd), lambda bhi, i: (bhi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * t_pad - 1 + ROW_BLOCK, pd),
+                         lambda bhi, i: (bhi % heads, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ROW_BLOCK, t_pad),
+                               lambda bhi, i: (bhi, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, t_pad, t_pad), jnp.bfloat16),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bh * t_pad * t_pad * (qd + pd),
+            bytes_accessed=4 * bh * t_pad * (qd * 2 + pd)
+            + 2 * bh * t_pad * t_pad,
+            transcendentals=bh * t_pad * t_pad,
+        ),
+    )(lens.astype(jnp.int32), q, k, p, pos_lin)
+
+
+def attention_weights_pallas(q, k, pq, pos_proj_weight, pos_emb, mask, cfg):
+    """Drop-in producer of attention weights for models/zipformer.py.
+
+    Args:
+        q, k: [B, T, H, qd] float32; pq: [B, T, H, pd].
+        pos_proj_weight: [pos_dim, H*pd]; pos_emb: [2T-1, pos_dim] (natural
+            order; reversed internally).
+        mask: [B, T] True where PADDED (or None).
+        cfg: ZipformerConfig (for head dims).
+
+    Returns [B, H, T, T] attention weights (bf16 upcast to f32 by consumers).
+    """
+    b, t, h, qd = q.shape
+    pd = pq.shape[-1]
+    r = ROW_BLOCK
+    t_pad = -(-t // r) * r
+
+    def to_bht(x, d):
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, t, d)
+        if t_pad != t:
+            x = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+        return x
+
+    qf = to_bht(q, qd)
+    kf = to_bht(k, qd)
+    pf = to_bht(pq, pd)
+
+    # Reversed, zero-extended position table sized for padded T:
+    # rows index j = s + (T_pad-1) - t. Build from the natural-order pos_emb
+    # of the ORIGINAL T by computing the padded table directly.
+    pos_lin = (pos_emb[::-1].astype(jnp.float32)
+               @ pos_proj_weight.astype(jnp.float32)).reshape(2 * t - 1, h, pd)
+    # pad to 2*t_pad-1 rows: reversed-table row j corresponds to offset
+    # o = (T-1) - j in the original; for the padded table rows j' map to
+    # o = (t_pad-1) - j'. Place original rows accordingly, zeros elsewhere.
+    full = jnp.zeros((2 * t_pad - 1 + r, h, pd), jnp.float32)
+    # original offsets o in [-(t-1), t-1] -> padded j' = (t_pad-1) - o
+    # original j = (t-1) - o  =>  j' = j + (t_pad - t)
+    full = jax.lax.dynamic_update_slice(full, pos_lin, (t_pad - t, 0, 0))
+    pos_lin_h = jnp.transpose(full, (1, 0, 2))  # [H, 2Tp-1+R, pd]
+
+    if mask is not None:
+        lens = jnp.sum((~mask).astype(jnp.int32), axis=1)
+    else:
+        lens = jnp.full((b,), t, jnp.int32)
+
+    out = _attn_weights_pallas(qf, kf, pf, pos_lin_h, lens, h)
+    out = out.reshape(b, h, t_pad, t_pad)[:, :, :t, :t]
+    return out.astype(jnp.float32)
