@@ -119,6 +119,130 @@ class OnlineRecognizer:
         return False
 
 
+class CachedStreamingRecognizer:
+    """True cache-carrying streaming recognizer: streaming Zipformer chunks
+    (models/zipformer_streaming.py) + greedy RNN-T decoding with carried
+    decoder context. One jitted step per 0.64 s chunk; state is an explicit
+    pytree. Mirrors the reference's chunk-64 OnlineRecognizer
+    (streaming_asr_online.py) without re-encoding.
+    """
+
+    def __init__(self, model, chunk_frames=32, left_frames=128):
+        import functools
+
+        import jax
+
+        from sherpa_vietnamese_asr_tpu.models.zipformer_streaming import (
+            StreamingConfig, init_streaming_state, streaming_step,
+        )
+
+        self.model = model
+        self.scfg = StreamingConfig(chunk_frames=chunk_frames,
+                                    left_frames=left_frames)
+        self.enc_state = init_streaming_state(model.zip_cfg, self.scfg, 1)
+        self._enc_step = jax.jit(functools.partial(
+            streaming_step, cfg=model.zip_cfg, scfg=self.scfg))
+        self._dec_step = jax.jit(functools.partial(
+            _greedy_chunk_decode, cfg=model.rnnt_cfg))
+        self.sample_buffer = np.array([], np.float32)
+        self.frame_cursor = 0  # fbank frames consumed so far
+        self.ctx = np.zeros((2,), np.int32)  # decoder context (blank-init)
+        self.tokens = []
+        self.total_samples = 0
+
+    def accept_waveform(self, audio):
+        audio = np.asarray(audio, np.float32)
+        self.sample_buffer = np.concatenate([self.sample_buffer, audio])
+        self.total_samples += len(audio)
+
+    def _frames_available(self):
+        # snip_edges=False framing: frame f covers samples
+        # [160 f - 120, 160 f + 280); frame computable once we have
+        # 160 f + 280 samples (reflection applies only at stream end).
+        return max(0, (len(self.sample_buffer) - 280) // 160)
+
+    def is_ready(self):
+        return self._frames_available() - self.frame_cursor \
+            >= 2 * self.scfg.chunk_frames
+
+    def decode(self):
+        """Consume one chunk of fbank frames; returns newly emitted pieces."""
+        import jax.numpy as jnp
+
+        from sherpa_vietnamese_asr_tpu.ops import fbank as fbank_ops
+        from sherpa_vietnamese_asr_tpu.utils.fbank_ref import ASR_FBANK
+
+        n_frames = 2 * self.scfg.chunk_frames
+        f0 = self.frame_cursor
+        # samples needed: up to (f0 + n_frames - 1)*160 + 280
+        end = (f0 + n_frames - 1) * 160 + 280
+        feats = np.asarray(fbank_ops.compute_fbank(
+            jnp.asarray(self.sample_buffer[:end]), ASR_FBANK,
+            use_pallas=False))
+        chunk = feats[f0: f0 + n_frames][None]  # [1, 64, 80]
+        self.frame_cursor += n_frames
+        # trim consumed samples, keeping the frame overlap margin
+        keep_from = max(0, self.frame_cursor * 160 - 400)
+        if keep_from:
+            self.sample_buffer = self.sample_buffer[keep_from:]
+            self.frame_cursor -= keep_from // 160
+        enc_out, self.enc_state = self._enc_step(
+            self.model.enc_params, self.enc_state, jnp.asarray(chunk))
+        toks, n, ctx = self._dec_step(
+            enc_out[0], jnp.asarray(self.ctx), self.model.dec_params,
+            self.model.joi_params)
+        self.ctx = np.asarray(ctx)
+        new = [int(t) for t in np.asarray(toks)[: int(n)]]
+        self.tokens.extend(new)
+        return new
+
+    def get_result(self):
+        id2tok = self.model.id2token
+        pieces = [id2tok[t] if t < len(id2tok) else "" for t in self.tokens]
+        return "".join(pieces).replace("▁", " ").strip().lower()
+
+    def reset(self):
+        from sherpa_vietnamese_asr_tpu.models.zipformer_streaming import (
+            init_streaming_state,
+        )
+
+        self.enc_state = init_streaming_state(self.model.zip_cfg, self.scfg, 1)
+        self.ctx = np.zeros((2,), np.int32)
+        self.tokens = []
+
+
+def _greedy_chunk_decode(enc_chunk, ctx, dec_params, joi_params, cfg):
+    """Greedy decode over one chunk's encoder frames with carried context.
+
+    enc_chunk: [T, E]; ctx: [2] int32 (decoder context, 0-padded).
+    Returns (tokens [T] int32, count, new_ctx). One emission per frame
+    (modified-greedy, same rule as beam_size=1 in ops/beam_search.py).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sherpa_vietnamese_asr_tpu.models.rnnt import (
+        decoder_forward, joiner_forward,
+    )
+
+    t = enc_chunk.shape[0]
+
+    def step(carry, enc_t):
+        ctx_c, = carry
+        dec = decoder_forward(dec_params, ctx_c[None, :], cfg)[0]
+        logits = joiner_forward(joi_params, enc_t, dec)
+        tok = jnp.argmax(logits).astype(jnp.int32)
+        emit = tok != cfg.blank_id
+        new_ctx = jnp.where(emit, jnp.stack([ctx_c[1], tok]), ctx_c)
+        return (new_ctx,), jnp.where(emit, tok, -1)
+
+    (new_ctx,), toks = jax.lax.scan(step, (ctx,), enc_chunk)
+    # static-shape compaction: emitted tokens to the front, in frame order
+    is_emit = toks >= 0
+    order = jnp.argsort(~is_emit, stable=True)
+    return toks[order], is_emit.sum(), new_ctx
+
+
 class OnlineStreamingSession:
     """Queue-driven session over OnlineRecognizer (reference
     streaming_asr_online.py run loop, no Qt): partials on change, finals at
