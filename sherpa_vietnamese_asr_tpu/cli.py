@@ -54,6 +54,7 @@ def cmd_transcribe(args):
         "preprocess_rms_normalize": args.rms_normalize,
         "preprocess_wpe": args.wpe,
         "bypass_vad": args.no_vad,
+        "enable_resume": args.enable_resume,
     }
     diarizer = None
     if args.diarize:
@@ -67,9 +68,19 @@ def cmd_transcribe(args):
             print(msg, file=sys.stderr)
 
     t0 = time.time()
-    result = TranscriberPipeline(args.audio, model, config,
-                                 progress_callback=progress,
-                                 diarizer=diarizer).run()
+    if args.profile:
+        import jax
+
+        with jax.profiler.trace(args.profile):
+            result = TranscriberPipeline(args.audio, model, config,
+                                         progress_callback=progress,
+                                         diarizer=diarizer).run()
+        print(f"[cli] profiler trace written to {args.profile}",
+              file=sys.stderr)
+    else:
+        result = TranscriberPipeline(args.audio, model, config,
+                                     progress_callback=progress,
+                                     diarizer=diarizer).run()
     dt = time.time() - t0
     if result is None:
         print("cancelled", file=sys.stderr)
@@ -175,6 +186,10 @@ def main(argv=None):
     t.add_argument("--wpe", action="store_true")
     t.add_argument("--no-vad", action="store_true")
     t.add_argument("--output", default=None)
+    t.add_argument("--profile", default=None,
+                   help="write a jax profiler trace to this directory")
+    t.add_argument("--resume", dest="enable_resume", action="store_true",
+                   help="resume from a .asr_ckpt.json if present")
     t.add_argument("-v", "--verbose", action="store_true")
     t.set_defaults(fn=cmd_transcribe)
 

@@ -139,6 +139,52 @@ class TranscriberPipeline:
                 pass
         return result
 
+    # -- resume checkpoints (the reference PWA persists VAD/decode state for
+    # resume, offline_pwa app.js:3388-3577; this is the server-side analogue,
+    # opt-in via config enable_resume) --
+    @property
+    def _ckpt_path(self):
+        return str(self.file_path) + ".asr_ckpt.json"
+
+    def _load_checkpoint(self):
+        import json
+
+        if not self.config.get("enable_resume", False):
+            return None
+        try:
+            with open(self._ckpt_path, "r", encoding="utf-8") as f:
+                ck = json.load(f)
+            if ck.get("version") == 1 and ck.get("stage") == "decoded":
+                return ck
+        except (OSError, ValueError):
+            pass
+        return None
+
+    def _save_checkpoint(self, all_words, full_text, concat_len, vad_probs):
+        import json
+
+        if not self.config.get("enable_resume", False):
+            return
+        try:
+            with open(self._ckpt_path, "w", encoding="utf-8") as f:
+                json.dump({
+                    "version": 1, "stage": "decoded",
+                    "full_text": full_text,
+                    "all_words": all_words,
+                    "concat_len": concat_len,
+                    "vad_probs": (np.asarray(vad_probs, np.float32)
+                                  .round(4).tolist()
+                                  if vad_probs is not None else None),
+                }, f, ensure_ascii=False)
+        except (OSError, TypeError):
+            pass
+
+    def _clear_checkpoint(self):
+        try:
+            os.remove(self._ckpt_path)
+        except OSError:
+            pass
+
     def _run(self, t0, timing):
         self._emit("PHASE:LoadAudio|Loading audio|0")
         audio = load_audio(self.file_path, SAMPLE_RATE,
@@ -146,6 +192,17 @@ class TranscriberPipeline:
         total_samples = len(audio)
         if self._cancelled():
             return None
+
+        ckpt = self._load_checkpoint()
+        if ckpt is not None:
+            self._emit("PHASE:Transcription|Resuming from checkpoint|100")
+            vad_probs = (np.asarray(ckpt["vad_probs"], np.float32)
+                         if ckpt.get("vad_probs") is not None else None)
+            return self._finish(
+                t0, timing, audio, total_samples, ckpt["all_words"],
+                ckpt["full_text"], audio[: ckpt.get("concat_len",
+                                                    total_samples)],
+                vad_probs, is_rover=False)
 
         # ---- VAD -> concat -> chunk plan ----
         t_vad = time.time()
@@ -256,10 +313,27 @@ class TranscriberPipeline:
             rebuild_disagree_indices,
         )
         all_words, full_text = merge_chunks_with_overlap(chunk_results)
+        disagree = rebuild_disagree_indices(all_words) if is_rover else None
+        all_words = suspect_detect(all_words, audio,
+                                   disagree_indices=disagree,
+                                   vad_probs=vad_probs)
+        all_words = remove_filler_words(all_words)
+        full_text = " ".join(w["text"] for w in all_words)
+        if full_text:
+            full_text = full_text.capitalize()
 
+        self._save_checkpoint(all_words, full_text, len(concat_audio),
+                              vad_probs)
+        return self._finish(t0, timing, audio, total_samples, all_words,
+                            full_text, concat_audio, vad_probs, is_rover)
+
+    def _finish(self, t0, timing, audio, total_samples, all_words, full_text,
+                concat_audio, vad_probs, is_rover):
+        """Post-decode stages: quality, diarization, punctuation, assembly.
+        Entered either from a live decode or from a resume checkpoint."""
         # ---- DNSMOS quality on speech-only audio (asr_engine.py:2496-2528) --
         quality_info = None
-        if self.quality_analyzer is not None:
+        if self.quality_analyzer is not None and concat_audio is not None:
             t_q = time.time()
             try:
                 self._emit("PHASE:QualityAnalysis|Analyzing audio quality|0")
@@ -269,14 +343,6 @@ class TranscriberPipeline:
             except Exception:
                 quality_info = None
             timing["quality"] = time.time() - t_q
-        disagree = rebuild_disagree_indices(all_words) if is_rover else None
-        all_words = suspect_detect(all_words, audio,
-                                   disagree_indices=disagree,
-                                   vad_probs=vad_probs)
-        all_words = remove_filler_words(all_words)
-        full_text = " ".join(w["text"] for w in all_words)
-        if full_text:
-            full_text = full_text.capitalize()
 
         # ---- Speaker diarization (runs before punctuation; reference
         # asr_engine.py:2606-2756) ----
@@ -309,8 +375,11 @@ class TranscriberPipeline:
                     all_words, raw_speaker_segments)
                 self._emit("PHASE:Diarization|Done|100")
                 if self.config.get("overlap_separation", False):
+                    ov_decoder = BatchedChunkDecoder(
+                        self.model,
+                        max_batch=int(self.config.get("max_batch", 8)))
                     self._overlap_segments = self._run_overlap_separation(
-                        audio, raw_speaker_segments, decoder, timing)
+                        audio, raw_speaker_segments, ov_decoder, timing)
             except Exception:
                 import logging
                 logging.getLogger(__name__).error("diarization failed",
@@ -408,6 +477,7 @@ class TranscriberPipeline:
             "asr_provider_info": {"backend": "jax", "device": "tpu"},
             "overlap_segments": getattr(self, "_overlap_segments", []) or [],
         }
+        self._clear_checkpoint()
         return result_data
 
     def _run_overlap_separation(self, audio, raw_speaker_segments, decoder,

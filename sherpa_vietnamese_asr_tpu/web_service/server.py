@@ -71,6 +71,24 @@ class AppState:
         # default admin account (reference seeds one on first run)
         if not self.db.get_user_by_username("admin"):
             self.db.create_user("admin", hash_password("admin"), role="admin")
+        self._gc_stop = threading.Event()
+        self._gc_thread = threading.Thread(target=self._session_gc_loop,
+                                           daemon=True)
+        self._gc_thread.start()
+
+    def _session_gc_loop(self, interval_sec=60, timeout_minutes=30):
+        """Expire stale anonymous sessions (reference session_manager's
+        heartbeat GC)."""
+        while not self._gc_stop.wait(interval_sec):
+            try:
+                for sess in self.db.get_expired_anonymous_sessions(
+                        timeout_minutes):
+                    self.db.expire_session(sess["id"])
+            except Exception:
+                pass
+
+    def shutdown(self):
+        self._gc_stop.set()
 
     # -- websocket push ---------------------------------------------------------
     def add_ws_client(self, session_id, sock):

@@ -173,3 +173,43 @@ def test_merge_chunks_with_overlap_dedup():
     merged, text = merge_chunks_with_overlap([c1, c2])
     assert text.split().count("dep") == 1  # overlap deduplicated
     assert "mat" in text and "xin" in text
+
+
+def test_resume_checkpoint(tiny_model, wav_file):
+    """enable_resume: a checkpoint written after decode lets a rerun skip
+    decoding and produce the same text (PWA resume analogue)."""
+    import json
+    import os
+
+    from sherpa_vietnamese_asr_tpu.pipeline.transcriber import (
+        TranscriberPipeline,
+    )
+    path, _ = wav_file
+
+    def vad(a):
+        return np.ones(len(a) // 512, np.float32)
+
+    cfg = {"max_batch": 2, "enable_resume": True}
+    res1 = TranscriberPipeline(path, tiny_model, config=cfg,
+                               vad_prob_fn=vad).run()
+    # checkpoint removed after success
+    assert not os.path.exists(path + ".asr_ckpt.json")
+
+    # Fabricate a checkpoint as if a previous run died after decode
+    ck = {"version": 1, "stage": "decoded", "full_text": res1["text"],
+          "all_words": [w for s in res1["segments"]
+                        for w in s.get("raw_words", [])],
+          "concat_len": 16000, "vad_probs": None}
+    with open(path + ".asr_ckpt.json", "w") as f:
+        json.dump(ck, f)
+
+    calls = {"n": 0}
+    def counting_vad(a):
+        calls["n"] += 1
+        return vad(a)
+
+    res2 = TranscriberPipeline(path, tiny_model, config=cfg,
+                               vad_prob_fn=counting_vad).run()
+    assert calls["n"] == 0  # decode path skipped entirely
+    assert res2["text"] == res1["text"]
+    assert not os.path.exists(path + ".asr_ckpt.json")
