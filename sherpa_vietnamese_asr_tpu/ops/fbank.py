@@ -106,11 +106,19 @@ def _frame_signal(audio: jax.Array, cfg: FbankConfig) -> jax.Array:
 
 
 def _logmel_kernel(frames_ref, wc_ref, ws_ref, mel_ref, floor_ref, out_ref):
+    # HIGHEST precision: the DFT suffers catastrophic cancellation and the
+    # MXU's default bf16 passes corrupt low-energy mel bins (log amplifies).
+    def dot32(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+
     x = frames_ref[:]
-    c = jnp.dot(x, wc_ref[:], preferred_element_type=jnp.float32)
-    s = jnp.dot(x, ws_ref[:], preferred_element_type=jnp.float32)
+    c = dot32(x, wc_ref[:])
+    s = dot32(x, ws_ref[:])
     power = c * c + s * s
-    mel = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32)
+    mel = dot32(power, mel_ref[:])
     out_ref[:] = jnp.log(jnp.maximum(mel, floor_ref[0]))
 
 
