@@ -139,6 +139,48 @@ def cmd_bench(args):
     return 0
 
 
+def cmd_install_service(args):
+    """Write a systemd unit (reference service_installer.py installs a
+    Windows service; this is the Linux/TPU-host analogue)."""
+    import shutil
+
+    unit = f"""[Unit]
+Description=TPU Vietnamese ASR API server
+After=network.target
+
+[Service]
+Type=simple
+ExecStart={shutil.which("python3") or "/usr/bin/python3"} -m \
+sherpa_vietnamese_asr_tpu.cli serve --host 0.0.0.0 --port {args.port} \
+--data-dir {args.data_dir}
+WorkingDirectory={__import__("os").path.dirname(__import__("os").path.dirname(
+        __import__("os").path.abspath(__file__)))}
+Restart=on-failure
+RestartSec=5
+
+[Install]
+WantedBy=multi-user.target
+"""
+    with open(args.output, "w") as f:
+        f.write(unit)
+    print(f"wrote {args.output}; install with:\n"
+          f"  sudo cp {args.output} /etc/systemd/system/ && "
+          "sudo systemctl enable --now svt-asr")
+    return 0
+
+
+def cmd_calibrate(args):
+    from sherpa_vietnamese_asr_tpu.pipeline.calibration import (
+        run_device_calibration,
+    )
+
+    report = run_device_calibration(report_path=args.output,
+                                    progress_callback=print)
+    print(json.dumps({k: v for k, v in report.items() if k != "stages"}))
+    print(f"wrote {args.output}")
+    return 0
+
+
 def cmd_monitor(args):
     """RAM/CPU/disk sampler (reference resource_monitor.py equivalent)."""
     import csv
@@ -201,6 +243,18 @@ def main(argv=None):
 
     b = sub.add_parser("bench", help="run the benchmark")
     b.set_defaults(fn=cmd_bench)
+
+    sv = sub.add_parser("install-service",
+                        help="write a systemd unit for the API server "
+                             "(reference service_installer.py analogue)")
+    sv.add_argument("--port", type=int, default=8000)
+    sv.add_argument("--data-dir", default="/var/lib/svt-asr")
+    sv.add_argument("--output", default="svt-asr.service")
+    sv.set_defaults(fn=cmd_install_service)
+
+    c = sub.add_parser("calibrate", help="device calibration report")
+    c.add_argument("--output", default="calibration_report.json")
+    c.set_defaults(fn=cmd_calibrate)
 
     m = sub.add_parser("monitor", help="resource monitor")
     m.add_argument("--interval", type=float, default=1.0)
