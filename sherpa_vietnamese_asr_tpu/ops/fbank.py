@@ -12,6 +12,7 @@
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -83,11 +84,21 @@ def _frame_gather_indices(n_samples: int, cfg: FbankConfig) -> np.ndarray:
 def _frame_signal(audio: jax.Array, cfg: FbankConfig) -> jax.Array:
     """[..., L] -> [..., F, frame_length] windowed frames padded to n_fft.
 
-    Framing indices are trace-time constants (static L), so XLA lowers this to
-    a dense gather + fused elementwise ops.
+    Framing indices are computed IN-GRAPH (iota arithmetic + one reflection
+    step) rather than embedded as a numpy constant: a constant [F, 400] index
+    table is ~15M int32 for an hour of audio and makes every new audio-length
+    bucket compile for tens of seconds.
     """
     n = audio.shape[-1]
-    idx = jnp.asarray(_frame_gather_indices(n, cfg))
+    f = num_frames(n, cfg)
+    starts = jnp.arange(f, dtype=jnp.int32) * cfg.frame_shift
+    if not cfg.snip_edges:
+        starts = starts + (cfg.frame_shift // 2 - cfg.frame_length // 2)
+    idx = starts[:, None] + jnp.arange(cfg.frame_length, dtype=jnp.int32)
+    if not cfg.snip_edges:
+        # Kaldi reflection; one step suffices for frame_length << n.
+        idx = jnp.where(idx < 0, -idx - 1, idx)
+        idx = jnp.where(idx >= n, 2 * n - 1 - idx, idx)
     frames = jnp.take(audio, idx, axis=-1)  # [..., F, frame_length]
     if cfg.input_scale != 1.0:
         frames = frames * jnp.float32(cfg.input_scale)
@@ -170,6 +181,43 @@ def _logmel_xla(frames: jax.Array, cfg: FbankConfig) -> jax.Array:
 
 def _on_tpu() -> bool:
     return jax.default_backend() in ("tpu", "axon")
+
+
+def compute_fbank_streamed(audio: np.ndarray, cfg: FbankConfig = ASR_FBANK,
+                           block_frames: int = 6000,
+                           use_pallas: bool | None = None) -> np.ndarray:
+    """Whole-file fbank in fixed-size blocks: ONE compiled program regardless
+    of audio length (arbitrary-length jits compile for tens of seconds per
+    new length on this host). snip_edges=True configs only (frame f starts
+    at f*shift, so blocks tile exactly). Returns numpy [F, num_bins]."""
+    assert cfg.snip_edges, "streamed fbank assumes snip_edges=True framing"
+    audio = np.asarray(audio, np.float32)
+    total = num_frames(len(audio), cfg)
+    if total == 0:
+        return np.empty((0, cfg.num_bins), np.float32)
+    block_len = (block_frames - 1) * cfg.frame_shift + cfg.frame_length
+    out = np.empty((total, cfg.num_bins), np.float32)
+    done = 0
+    while done < total:
+        start = done * cfg.frame_shift
+        chunk = audio[start: start + block_len]
+        if len(chunk) < block_len:
+            chunk = np.pad(chunk, (0, block_len - len(chunk)))
+        feats = _fbank_block_jit(jnp.asarray(chunk), cfg,
+                                 use_pallas is True)
+        take = min(block_frames, total - done)
+        out[done: done + take] = np.asarray(feats)[:take]
+        done += take
+    if cfg.cmvn:
+        out -= out.mean(axis=0, keepdims=True)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_pallas"))
+def _fbank_block_jit(chunk, cfg, use_pallas):
+    # CMVN is applied over the WHOLE utterance by the caller, not per block.
+    block_cfg = cfg if not cfg.cmvn else dataclasses.replace(cfg, cmvn=False)
+    return compute_fbank(chunk, block_cfg, use_pallas=use_pallas)
 
 
 def compute_fbank(audio: jax.Array, cfg: FbankConfig = ASR_FBANK,

@@ -293,14 +293,6 @@ def vbx_cluster(fea, plda_psi, ahc_labels, fa, fb, max_iters=20):
 # Device stages (jitted)
 # ---------------------------------------------------------------------------
 
-@jax.jit
-def _full_fbank_jit(audio):
-    from sherpa_vietnamese_asr_tpu.ops import fbank as fbank_ops
-    from sherpa_vietnamese_asr_tpu.utils.fbank_ref import RESNET_EMB_FBANK
-
-    return fbank_ops.compute_fbank(audio, RESNET_EMB_FBANK, use_pallas=False)
-
-
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _segment_batch_jit(params, windows, cfg):
     from sherpa_vietnamese_asr_tpu.models.pyannet import pyannet_forward
@@ -525,16 +517,13 @@ class PureDiarizer:
         frames_per_chunk = int(CHUNK_DURATION * 1000 / 10) - 2  # 998
 
         # Whole-audio fbank once (zero-padded by one chunk like the
-        # reference), on device. The length is bucketed to multiples of 60 s
-        # so distinct files reuse one compiled program.
-        bucket = 60 * SAMPLE_RATE
-        target = CHUNK_SAMPLES + ((len(audio) + bucket - 1) // bucket) * bucket
-        padded = np.zeros(target, np.float32)
-        padded[: len(audio)] = audio
-        full_fbank = np.asarray(_full_fbank_jit(jnp.asarray(padded)))
-        n_total = fbank_ops.num_frames(len(audio) + CHUNK_SAMPLES,
-                                       RESNET_EMB_FBANK)
-        full_fbank = full_fbank[:n_total]
+        # reference), computed in fixed 60 s blocks so one compiled program
+        # serves every audio length.
+        padded = np.concatenate([np.asarray(audio, np.float32),
+                                 np.zeros(CHUNK_SAMPLES, np.float32)])
+        full_fbank = fbank_ops.compute_fbank_streamed(
+            padded, RESNET_EMB_FBANK, use_pallas=False)
+        n_total = full_fbank.shape[0]
         shift = int(SAMPLE_RATE * 0.01)
 
         # Frame-feature time subsampling: encoder downsamples time by 8.

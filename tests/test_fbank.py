@@ -87,3 +87,16 @@ def test_silence_hits_log_floor():
     audio = np.zeros(16000, dtype=np.float32)
     feats = fbank_ref.compute_fbank(audio, ASR_FBANK)
     np.testing.assert_allclose(feats, np.log(fbank_ref.FLT_EPSILON), rtol=1e-6)
+
+
+def test_streamed_fbank_matches_direct(rng):
+    from sherpa_vietnamese_asr_tpu.ops import fbank as jfb
+
+    audio = _speechlike(rng, 16000 * 9 + 333)
+    ref = np.asarray(jfb.compute_fbank(audio, RESNET_EMB_FBANK,
+                                       use_pallas=False))
+    got = jfb.compute_fbank_streamed(audio, RESNET_EMB_FBANK,
+                                     block_frames=250)
+    assert got.shape == ref.shape
+    # fp32 matmul reassociation across block boundaries; log-domain
+    np.testing.assert_allclose(got, ref, atol=5e-3)
