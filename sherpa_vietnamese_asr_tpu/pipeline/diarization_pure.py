@@ -314,6 +314,91 @@ def _embed_batch_jit(params, fbank_windows, weights, cfg):
     return project_embedding(params, stats)
 
 
+FRAMES_PER_CHUNK = 998          # 10 s chunk at 10 ms shift minus 2 (knf)
+_FB_FRAMES_PER_STEP = STEP_SAMPLES // 160   # 100 fbank frames per 1 s step
+
+
+def superblock_samples(n_windows: int) -> int:
+    """Samples covering n_windows overlapped 10 s / 1 s chunks PLUS the
+    fbank frames each chunk needs ((n-1)*100 + 998 frames of 400/160)."""
+    need_frames = (n_windows - 1) * _FB_FRAMES_PER_STEP + FRAMES_PER_CHUNK
+    fbank_need = (need_frames - 1) * 160 + 400
+    seg_need = (n_windows - 1) * STEP_SAMPLES + CHUNK_SAMPLES
+    return max(fbank_need, seg_need)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("seg_cfg", "emb_cfg", "n_windows",
+                                    "min_seg_frames", "quantized"))
+def _superblock_jit(seg_params, emb_params, block, seg_cfg, emb_cfg,
+                    n_windows, min_seg_frames, quantized):
+    """One fused device program over a span of audio covering `n_windows`
+    overlapped chunks: segmentation AND speaker embeddings.
+
+    The sliding windows overlap 10x (10 s window, 1 s step), so uploading
+    windows re-sends every sample 10 times — at this host's ~20 MB/s
+    host->device link that dwarfs compute. Instead the raw span is uploaded
+    ONCE (optionally int16) and the overlapped views are built in-graph.
+    Downloads shrink the same way: the host only needs the powerset argmax
+    (int8) and the embeddings, not the logits.
+
+    Returns (powerset_argmax int8 [W, 589], emb [W, 3, D], valid bool [W, 3]).
+    Semantics identical to _segment_batch_jit + host masking +
+    _embed_batch_jit (reference pure_ort.py:441-446, :756-801).
+    """
+    import dataclasses
+
+    from sherpa_vietnamese_asr_tpu.models.pyannet import pyannet_forward
+    from sherpa_vietnamese_asr_tpu.models.resnet_speaker import (
+        project_embedding, resnet_frame_features,
+    )
+    from sherpa_vietnamese_asr_tpu.ops import fbank as fbank_ops
+    from sherpa_vietnamese_asr_tpu.ops.stats_pool import masked_stats_pool
+    from sherpa_vietnamese_asr_tpu.utils.fbank_ref import RESNET_EMB_FBANK
+
+    x = block.astype(jnp.float32)
+    if quantized:
+        x = x / jnp.float32(32768.0)
+
+    # --- segmentation over in-graph overlapped views ---
+    windows = jnp.stack([
+        jax.lax.dynamic_slice_in_dim(x, i * STEP_SAMPLES, CHUNK_SAMPLES)
+        for i in range(n_windows)])
+    seg_logits = pyannet_forward(seg_params, windows, seg_cfg)
+    am = jnp.argmax(seg_logits, axis=-1)                  # [W, 589]
+    binarized = jnp.take(jnp.asarray(POWERSET_MAP), am, axis=0)  # [W, 589, 3]
+
+    # --- whole-span fbank once; chunk views + per-chunk CMVN ---
+    fb_cfg = dataclasses.replace(RESNET_EMB_FBANK, cmvn=False)
+    fb_full = fbank_ops.compute_fbank(x, fb_cfg)          # [F_total, 80]
+    fb = jnp.stack([
+        jax.lax.dynamic_slice_in_dim(
+            fb_full, i * _FB_FRAMES_PER_STEP, FRAMES_PER_CHUNK)
+        for i in range(n_windows)])                       # [W, 998, 80]
+    fb = fb - jnp.mean(fb, axis=1, keepdims=True)
+
+    # --- per-speaker pooling weights from this chunk's own binarization ---
+    # clean = frames with < 2 active speakers preferred when plentiful
+    # (reference pure_ort.py:764-776).
+    clean = binarized * (jnp.sum(binarized, axis=2, keepdims=True)
+                         < 2).astype(jnp.float32)
+    use_clean = jnp.sum(clean, axis=1) > float(min_seg_frames)   # [W, 3]
+    used = jnp.where(use_clean[:, None, :], clean, binarized)    # [W, 589, 3]
+    valid = jnp.sum(used, axis=1) >= 1.0                         # [W, 3]
+    t_feat = emb_cfg.out_time(FRAMES_PER_CHUNK)
+    feat_idx = jnp.clip(
+        (jnp.arange(t_feat) * NUM_SEG_FRAMES // t_feat).astype(jnp.int32),
+        0, NUM_SEG_FRAMES - 1)
+    w = jnp.take(used, feat_idx, axis=1)                  # [W, t_feat, 3]
+    w = jnp.transpose(w, (0, 2, 1))                       # [W, 3, t_feat]
+    valid = valid & (jnp.sum(w, axis=-1) >= 1.0)
+    w = w * valid[..., None].astype(jnp.float32)
+
+    frame_feat = resnet_frame_features(emb_params, fb, emb_cfg)
+    emb = project_embedding(emb_params, masked_stats_pool(frame_feat, w))
+    return am.astype(jnp.int8), emb, valid
+
+
 class PureDiarizer:
     """pyannote-Community-1 replica; see module docstring.
 
@@ -327,7 +412,9 @@ class PureDiarizer:
                  emb_cfg=None, plda_data=None, threshold=DEFAULT_THRESHOLD,
                  fa=DEFAULT_FA, fb=DEFAULT_FB, min_duration_off=0.0,
                  num_speakers=-1, min_speakers=None, max_speakers=None,
-                 segmentation_batch_size=32, embedding_batch_size=64):
+                 segmentation_batch_size=32, embedding_batch_size=64,
+                 fused=True, superblock_windows=64,
+                 transfer_dtype="int16"):
         from sherpa_vietnamese_asr_tpu.models.pyannet import PyanNetConfig
         from sherpa_vietnamese_asr_tpu.models.resnet_speaker import (
             ResNetSpeakerConfig, init_resnet_params,
@@ -353,6 +440,11 @@ class PureDiarizer:
         self.max_speakers = max_speakers
         self.segmentation_batch_size = segmentation_batch_size
         self.embedding_batch_size = embedding_batch_size
+        # Fused superblock path: upload each audio span once, build the 10x
+        # overlapped seg/embedding views in-graph (see _superblock_jit).
+        self.fused = fused
+        self.superblock_windows = superblock_windows
+        self.transfer_dtype = transfer_dtype
         self.speaker_centroids = None
         self._last_overlap_regions = []
 
@@ -368,25 +460,34 @@ class PureDiarizer:
             audio = audio.mean(axis=1)
         duration = len(audio) / SAMPLE_RATE
 
-        seg_logits, chunk_starts = self._segment(audio, progress_callback)
-        num_chunks, num_seg_frames = seg_logits.shape[:2]
+        if self.fused:
+            binarized, chunk_starts, embeddings = \
+                self._segment_and_embed_fused(audio, progress_callback)
+            num_chunks, num_seg_frames = binarized.shape[:2]
+            self._last_overlap_regions = self._extract_overlap_regions(
+                binarized, chunk_starts, num_seg_frames, duration)
+            count = self._speaker_count(binarized)
+        else:
+            seg_logits, chunk_starts = self._segment(audio,
+                                                     progress_callback)
+            num_chunks, num_seg_frames = seg_logits.shape[:2]
 
-        binarized = POWERSET_MAP[np.argmax(seg_logits, axis=-1)]
-        del seg_logits
-        self._last_overlap_regions = self._extract_overlap_regions(
-            binarized, chunk_starts, num_seg_frames, duration)
+            binarized = POWERSET_MAP[np.argmax(seg_logits, axis=-1)]
+            del seg_logits
+            self._last_overlap_regions = self._extract_overlap_regions(
+                binarized, chunk_starts, num_seg_frames, duration)
 
-        count = self._speaker_count(binarized)
+            count = self._speaker_count(binarized)
 
-        clean_frames = (binarized.sum(axis=2, keepdims=True) < 2).astype(
-            np.float32)
-        clean_binarized = binarized * clean_frames
-        emb_min_num_samples = 1680
-        min_seg_frames = math.ceil(
-            num_seg_frames * emb_min_num_samples / CHUNK_SAMPLES)
-        embeddings = self._extract_embeddings(
-            audio, binarized, clean_binarized, chunk_starts, min_seg_frames,
-            progress_callback)
+            clean_frames = (binarized.sum(axis=2, keepdims=True)
+                            < 2).astype(np.float32)
+            clean_binarized = binarized * clean_frames
+            emb_min_num_samples = 1680
+            min_seg_frames = math.ceil(
+                num_seg_frames * emb_min_num_samples / CHUNK_SAMPLES)
+            embeddings = self._extract_embeddings(
+                audio, binarized, clean_binarized, chunk_starts,
+                min_seg_frames, progress_callback)
 
         single = (binarized.sum(axis=2, keepdims=True) == 1).astype(np.float32)
         num_clean = (binarized * single).sum(axis=1)
@@ -443,6 +544,53 @@ class PureDiarizer:
                 break
             s += STEP_SAMPLES
         return starts
+
+    def _segment_and_embed_fused(self, audio, progress_callback=None):
+        """Superblock pipeline: per span of `superblock_windows` chunks,
+        upload the raw samples once and run _superblock_jit. Returns
+        (binarized [N, 589, 3], chunk_starts, embeddings [N, 3, D] with NaN
+        rows for invalid (inactive) chunk-speakers)."""
+        total = len(audio)
+        starts = self._window_starts(total)
+        n = len(starts)
+        # Power-of-two bucketing keeps compile count bounded while short
+        # files don't pay for a full-width program.
+        w = 4
+        while w < min(self.superblock_windows, n):
+            w *= 2
+        w = min(w, self.superblock_windows)
+        sb_len = superblock_samples(w)
+        quantized = self.transfer_dtype == "int16"
+        if quantized:
+            host_audio = np.clip(np.rint(np.asarray(audio, np.float32)
+                                         * 32768.0), -32768, 32767
+                                 ).astype(np.int16)
+        else:
+            host_audio = np.asarray(audio, np.float32)
+        min_seg_frames = math.ceil(
+            NUM_SEG_FRAMES * 1680 / CHUNK_SAMPLES)
+        am_out = np.empty((n, NUM_SEG_FRAMES), np.int8)
+        emb_out = np.full((n, MAX_SPEAKERS_PER_CHUNK,
+                           self.emb_cfg.embed_dim), np.nan, np.float32)
+        for b in range(0, n, w):
+            s0 = starts[b]
+            block = np.zeros(sb_len, host_audio.dtype)
+            avail = min(sb_len, total - s0)
+            if avail > 0:
+                block[:avail] = host_audio[s0: s0 + avail]
+            am, emb, valid = _superblock_jit(
+                self.seg_params, self.emb_params, jnp.asarray(block),
+                self.seg_cfg, self.emb_cfg, w, min_seg_frames, quantized)
+            am, emb, valid = (np.asarray(am), np.asarray(emb),
+                              np.asarray(valid))
+            take = min(w, n - b)
+            am_out[b: b + take] = am[:take]
+            sel = valid[:take]
+            emb_out[b: b + take][sel] = emb[:take][sel]
+            if progress_callback:
+                progress_callback(int(min(b + w, n) / n * 85), 100)
+        binarized = POWERSET_MAP[am_out]
+        return binarized, starts, emb_out
 
     def _segment(self, audio, progress_callback=None):
         total = len(audio)

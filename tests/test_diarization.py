@@ -158,3 +158,63 @@ def test_canonicalize_clusters():
     # cluster 3 becomes 0 (earlier first activity), cluster 5 becomes 1
     assert remap == {3: 0, 5: 1}
     np.testing.assert_array_equal(out, [[1, -2, 0], [0, 1, -2]])
+
+
+def test_fused_superblock_matches_classic(rng):
+    """The fused superblock path (one upload per span, in-graph overlapped
+    views) must reproduce the classic per-window path: identical binarized
+    segmentation, near-identical embeddings."""
+    import jax
+
+    from sherpa_vietnamese_asr_tpu.models.pyannet import (
+        PyanNetConfig, init_pyannet_params,
+    )
+    from sherpa_vietnamese_asr_tpu.models.resnet_speaker import TINY_RESNET
+    from sherpa_vietnamese_asr_tpu.pipeline.diarization_pure import (
+        POWERSET_MAP, PureDiarizer,
+    )
+
+    seg_cfg = PyanNetConfig(sinc_filters=16, conv_channels=12,
+                            lstm_hidden=16, lstm_layers=1, linear_dim=16)
+    kw = dict(seg_params=init_pyannet_params(jax.random.PRNGKey(3), seg_cfg),
+              seg_cfg=seg_cfg, emb_cfg=TINY_RESNET,
+              segmentation_batch_size=4, embedding_batch_size=4)
+    sr = 16000
+    t = np.arange(sr * 14) / sr
+    audio = (0.3 * np.sin(2 * np.pi * 220 * t)
+             * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t))
+             + 0.02 * rng.standard_normal(len(t))).astype(np.float32)
+
+    classic = PureDiarizer(fused=False, **kw)
+    seg_logits, starts = classic._segment(audio)
+    bin_c = POWERSET_MAP[np.argmax(seg_logits, axis=-1)]
+    clean = bin_c * (bin_c.sum(axis=2, keepdims=True) < 2)
+    import math as _m
+    msf = _m.ceil(bin_c.shape[1] * 1680 / 160000)
+    emb_c = classic._extract_embeddings(audio, bin_c, clean, starts, msf,
+                                        None)
+
+    # exact-dtype path first
+    fused = PureDiarizer(fused=True, transfer_dtype="float32", **kw)
+    bin_f, starts_f, emb_f = fused._segment_and_embed_fused(audio)
+    assert starts_f == starts
+    np.testing.assert_array_equal(bin_f, bin_c)
+    both = ~np.isnan(emb_c[..., 0]) & ~np.isnan(emb_f[..., 0])
+    assert both.any()
+    np.testing.assert_array_equal(np.isnan(emb_f[..., 0]),
+                                  np.isnan(emb_c[..., 0]))
+    cf, cc = emb_f[both], emb_c[both]
+    cos = (cf * cc).sum(-1) / (np.linalg.norm(cf, axis=-1)
+                               * np.linalg.norm(cc, axis=-1) + 1e-9)
+    assert cos.min() > 0.9999
+
+    # int16 transfer: binarization may flip only on near-ties
+    fused16 = PureDiarizer(fused=True, transfer_dtype="int16", **kw)
+    bin_q, _, emb_q = fused16._segment_and_embed_fused(audio)
+    agree = (bin_q == bin_c).mean()
+    assert agree > 0.995
+    both_q = ~np.isnan(emb_q[..., 0]) & ~np.isnan(emb_c[..., 0])
+    cq, cc2 = emb_q[both_q], emb_c[both_q]
+    cos_q = (cq * cc2).sum(-1) / (np.linalg.norm(cq, axis=-1)
+                                  * np.linalg.norm(cc2, axis=-1) + 1e-9)
+    assert cos_q.min() > 0.999
