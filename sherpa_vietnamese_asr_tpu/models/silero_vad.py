@@ -15,6 +15,7 @@
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 
 import jax
@@ -130,6 +131,64 @@ def vad_step(params, chunk, context, state,
     feats = window_features(params, full, cfg)
     probs, new_state = lstm_scan(params, feats, state)
     return probs[0], chunk[-cfg.context:], new_state
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "quantized"))
+def _vad_block_jit(params, block, prev_tail, state, cfg, quantized):
+    """One fixed-size block of windows with carried context + LSTM state.
+
+    block: [W * window] samples (int16 or float32); prev_tail: [context]
+    samples from the previous block (same dtype). Returns
+    (probs [W], tail [context], new_state).
+    """
+    x = block.astype(jnp.float32)
+    tail_f = prev_tail.astype(jnp.float32)
+    if quantized:
+        x = x / jnp.float32(32768.0)
+        tail_f = tail_f / jnp.float32(32768.0)
+    wins = x.reshape(-1, cfg.window)
+    ctx = jnp.concatenate([tail_f[None, :], wins[:-1, -cfg.context:]], axis=0)
+    full = jnp.concatenate([ctx, wins], axis=1)
+    feats = window_features(params, full, cfg)
+    probs, new_state = lstm_scan(params, feats, state)
+    return probs, block[-cfg.context:], new_state
+
+
+def silero_vad_probs_streamed(params, audio, block_windows: int = 1875,
+                              quantize: bool = True,
+                              cfg: SileroVadConfig = SileroVadConfig()):
+    """Whole-file VAD in fixed-size blocks: ONE compiled program for any
+    audio length, int16 uploads (half the bytes over the slow host->device
+    link), LSTM state carried across blocks. Matches silero_vad_probs.
+
+    audio: numpy [L] float32. Returns numpy [L // 512] probabilities.
+    """
+    audio = np.asarray(audio, np.float32)
+    n_windows = len(audio) // cfg.window
+    if n_windows == 0:
+        return np.empty((0,), np.float32)
+    if quantize:
+        host = np.clip(np.rint(audio * 32768.0), -32768, 32767
+                       ).astype(np.int16)
+    else:
+        host = audio
+    block_len = block_windows * cfg.window
+    out = np.empty((n_windows,), np.float32)
+    d = params["lstm"]["wh"].shape[0]
+    state = (jnp.zeros((d,), jnp.float32), jnp.zeros((d,), jnp.float32))
+    tail = jnp.zeros((cfg.context,), host.dtype)
+    done = 0
+    while done < n_windows:
+        s = done * cfg.window
+        chunk = host[s: s + block_len]
+        if len(chunk) < block_len:
+            chunk = np.pad(chunk, (0, block_len - len(chunk)))
+        probs, tail, state = _vad_block_jit(params, jnp.asarray(chunk), tail,
+                                            state, cfg, quantize)
+        take = min(block_windows, n_windows - done)
+        out[done: done + take] = np.asarray(probs)[:take]
+        done += take
+    return out
 
 
 def silero_vad_probs(params, audio, cfg: SileroVadConfig = SileroVadConfig()):

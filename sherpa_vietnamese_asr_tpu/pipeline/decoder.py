@@ -30,9 +30,15 @@ CHUNK_PAD_SEC = 33.0  # 30 s chunk + 3 s overlap
 REFLECT_FILL = 400    # samples of tail reflection for fbank bit-parity
 
 
-@functools.partial(jax.jit, static_argnames=("use_pallas_fbank",))
-def fbank_batch_jit(audio, use_pallas_fbank=False):
-    """[B, L] -> [B, F, 80] ASR fbank (shared by ROVER's two decodes)."""
+@functools.partial(jax.jit, static_argnames=("use_pallas_fbank", "quantized"))
+def fbank_batch_jit(audio, use_pallas_fbank=False, quantized=False):
+    """[B, L] -> [B, F, 80] ASR fbank (shared by ROVER's two decodes).
+
+    quantized=True: audio arrives int16 (half the bytes over the ~20 MB/s
+    host->device link) and is dequantized in-graph.
+    """
+    if quantized:
+        audio = audio.astype(jnp.float32) / jnp.float32(32768.0)
     return fbank_ops.compute_fbank(audio, ASR_FBANK,
                                    use_pallas=use_pallas_fbank)
 
@@ -84,7 +90,8 @@ class BatchedChunkDecoder:
                  chunk_pad_sec: float = CHUNK_PAD_SEC,
                  use_pallas_fbank: bool | None = None,
                  model_b: AsrModel | None = None,
-                 chunk_transform=None):
+                 chunk_transform=None,
+                 transfer_dtype: str | None = None):
         self.model = model
         self.model_b = model_b
         self.chunk_transform = chunk_transform  # e.g. WPE per chunk
@@ -93,6 +100,14 @@ class BatchedChunkDecoder:
         if use_pallas_fbank is None:
             use_pallas_fbank = jax.default_backend() not in ("cpu",)
         self.use_pallas_fbank = use_pallas_fbank
+        if transfer_dtype is None:
+            # float32 by default: int16 halves upload bytes (~0.4 s per
+            # 4 min of audio on the ~20 MB/s tunnel) but perturbs log-mel
+            # by up to ~0.02 in silence, which can flip near-tied beam
+            # decisions — tokens must stay bit-identical to the float
+            # path, so int16 here is opt-in.
+            transfer_dtype = "float32"
+        self.transfer_dtype = transfer_dtype
 
     def _build_batch(self, concat_audio, spans):
         """spans: [(start, end)] -> (audio [B, pad_len], lens [B])."""
@@ -146,8 +161,13 @@ class BatchedChunkDecoder:
             # Keep the batch dimension static: pad the last group.
             padded_group = list(group) + [(0, 1)] * (self.max_batch - len(group))
             audio, lens = self._build_batch(concat_audio, padded_group)
+            quantized = self.transfer_dtype == "int16"
+            if quantized:
+                audio = np.clip(np.rint(audio * 32768.0), -32768, 32767
+                                ).astype(np.int16)
             feats = fbank_batch_jit(jnp.asarray(audio),
-                                    use_pallas_fbank=self.use_pallas_fbank)
+                                    use_pallas_fbank=self.use_pallas_fbank,
+                                    quantized=quantized)
             n_frames = jnp.asarray((lens + 80) // 160)
             models = [self.model] + ([self.model_b] if rover else [])
             for model, sink in zip(models, (out_a, out_b)):

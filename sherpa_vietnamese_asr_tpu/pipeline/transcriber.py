@@ -556,8 +556,8 @@ class TranscriberPipeline:
         params = silero_vad.init_silero_params(jax.random.PRNGKey(0))
 
         def prob_fn(a):
-            import jax.numpy as jnp
-            return np.asarray(
-                silero_vad.silero_vad_probs(params, jnp.asarray(a)))
+            # Blocked + int16 upload: one compiled program for any length,
+            # half the host->device bytes (the link is ~20 MB/s).
+            return silero_vad.silero_vad_probs_streamed(params, a)
 
         return prob_fn

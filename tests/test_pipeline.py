@@ -213,3 +213,55 @@ def test_resume_checkpoint(tiny_model, wav_file):
     assert calls["n"] == 0  # decode path skipped entirely
     assert res2["text"] == res1["text"]
     assert not os.path.exists(path + ".asr_ckpt.json")
+
+
+def test_silero_vad_streamed_matches_full(rng):
+    """Blocked int16-upload VAD == whole-audio VAD (state/context carry)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sherpa_vietnamese_asr_tpu.models import silero_vad
+
+    params = silero_vad.init_silero_params(jax.random.PRNGKey(0))
+    audio = (0.3 * np.sin(2 * np.pi * 300 * np.arange(16000 * 4) / 16000)
+             + 0.05 * rng.standard_normal(16000 * 4)).astype(np.float32)
+    audio = np.clip(audio, -1, 1)
+    full = np.asarray(silero_vad.silero_vad_probs(params,
+                                                  jnp.asarray(audio)))
+    # fp32 blocked: exact up to block-boundary reassociation
+    got = silero_vad.silero_vad_probs_streamed(params, audio,
+                                               block_windows=37,
+                                               quantize=False)
+    assert got.shape == full.shape
+    np.testing.assert_allclose(got, full, atol=1e-5)
+    # int16 transfer: probabilities move only marginally
+    got_q = silero_vad.silero_vad_probs_streamed(params, audio,
+                                                 block_windows=37)
+    assert np.max(np.abs(got_q - full)) < 5e-3
+
+
+def test_decoder_int16_transfer_token_parity(rng):
+    """int16 audio upload must not change decoded tokens (quantization is
+    ~3e-5 in [-1,1]; logits margins dwarf it)."""
+    from sherpa_vietnamese_asr_tpu.models.registry import (
+        TINY_ZIPFORMER, random_asr_model,
+    )
+    from sherpa_vietnamese_asr_tpu.pipeline.decoder import (
+        BatchedChunkDecoder,
+    )
+
+    model = random_asr_model(vocab_size=60, zip_cfg=TINY_ZIPFORMER,
+                             beam_size=2)
+    audio = np.clip(
+        0.3 * np.sin(2 * np.pi * 300 * np.arange(16000 * 6) / 16000)
+        + 0.05 * rng.standard_normal(16000 * 6), -1, 1).astype(np.float32)
+    spans = [(0, 16000 * 3), (16000 * 3, 16000 * 6)]
+    w_f = BatchedChunkDecoder(model, max_batch=2, chunk_pad_sec=4.0,
+                              transfer_dtype="float32"
+                              ).decode_spans(audio, spans)
+    w_q = BatchedChunkDecoder(model, max_batch=2, chunk_pad_sec=4.0,
+                              transfer_dtype="int16"
+                              ).decode_spans(audio, spans)
+    toks_f = [[w["text"] for w in ws] for ws in w_f]
+    toks_q = [[w["text"] for w in ws] for ws in w_q]
+    assert toks_f == toks_q
