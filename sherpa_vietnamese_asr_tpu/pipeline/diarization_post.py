@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import dataclasses
 
+import numpy as np
+
 WORD_ASSIGN_MAX_DURATION = 0.40
 WORD_TURN_PREFIX_PAUSE = 0.45
 WORD_TURN_PREFIX_EDGE_GAP = 0.15
@@ -198,51 +200,74 @@ def _word_overlaps_any(word, speaker_segments):
                for seg in speaker_segments)
 
 
+def _assign_speakers_batch(words, speaker_segments, fallback_speaker=None):
+    """Vectorized largest-overlap assignment for a list of words.
+
+    Exact numpy translation of the original per-word linear scan (overlap
+    argmax, ties by midpoint distance then list order; gap words to the
+    nearest boundary) — the scan was O(words x segments) in Python and
+    dominated post-processing on long files.
+    """
+    if not speaker_segments:
+        fb = fallback_speaker if fallback_speaker is not None else 0
+        return [fb] * len(words)
+    if not words:
+        return []
+    iv = np.array([_word_interval(w) for w in words], np.float64)  # [N, 2]
+    w0, w1 = iv[:, 0], iv[:, 1]
+    w1 = np.where(w1 <= w0, w0 + 0.001, w1)
+    mid = (w0 + w1) / 2.0
+    s0 = np.array([s.start for s in speaker_segments], np.float64)
+    s1 = np.array([s.end for s in speaker_segments], np.float64)
+    spk = np.array([s.speaker for s in speaker_segments])
+
+    ov = np.maximum(0.0, np.minimum(w1[:, None], s1[None, :])
+                    - np.maximum(w0[:, None], s0[None, :]))   # [N, M]
+    best_ov = ov.max(axis=1)
+    # Among max-overlap segments: min midpoint distance, then first in list
+    # (argmin returns the first minimum, matching the scan's tie-break).
+    dist = np.abs((s0 + s1)[None, :] / 2.0 - mid[:, None])
+    dist_masked = np.where(ov == best_ov[:, None], dist, np.inf)
+    best_idx = np.argmin(dist_masked, axis=1)
+    labels = spk[best_idx].tolist()
+
+    gap = best_ov <= 0
+    if gap.any():
+        # prev: largest end <= mid (first in list among ties — argmax
+        # returns the first maximum); nxt: smallest start >= mid.
+        gm = mid[gap]
+        pe = np.where(s1[None, :] <= gm[:, None], s1[None, :], -np.inf)
+        ns = np.where(s0[None, :] >= gm[:, None], s0[None, :], np.inf)
+        pi, ni = np.argmax(pe, axis=1), np.argmin(ns, axis=1)
+        pbest, nbest = pe[np.arange(len(gm)), pi], ns[np.arange(len(gm)), ni]
+        fb = fallback_speaker if fallback_speaker is not None \
+            else speaker_segments[0].speaker
+        for k, wi in enumerate(np.nonzero(gap)[0]):
+            has_p, has_n = np.isfinite(pbest[k]), np.isfinite(nbest[k])
+            if has_p and has_n:
+                labels[wi] = spk[pi[k]] if gm[k] - pbest[k] \
+                    <= nbest[k] - gm[k] else spk[ni[k]]
+            elif has_p:
+                labels[wi] = spk[pi[k]]
+            elif has_n:
+                labels[wi] = spk[ni[k]]
+            else:
+                labels[wi] = fb
+    return labels
+
+
 def speaker_for_word_by_time(word, speaker_segments, fallback_speaker=None):
     """Largest-overlap assignment; gap words go to the nearest boundary."""
-    if not speaker_segments:
-        return fallback_speaker if fallback_speaker is not None else 0
-    w0, w1 = _word_interval(word)
-    if w1 <= w0:
-        w1 = w0 + 0.001
-    mid = (w0 + w1) / 2.0
-
-    best, best_ov, best_dist = None, 0.0, float("inf")
-    for seg in speaker_segments:
-        ov = _overlap(w0, w1, seg.start, seg.end)
-        if ov <= 0:
-            continue
-        dist = abs((seg.start + seg.end) / 2.0 - mid)
-        if ov > best_ov or (ov == best_ov and dist < best_dist):
-            best, best_ov, best_dist = seg, ov, dist
-    if best is not None:
-        return best.speaker
-
-    prev = nxt = None
-    for seg in speaker_segments:
-        if seg.end <= mid:
-            if prev is None or seg.end > prev.end:
-                prev = seg
-        elif seg.start >= mid:
-            if nxt is None or seg.start < nxt.start:
-                nxt = seg
-    if prev and nxt:
-        return prev.speaker if mid - prev.end <= nxt.start - mid else nxt.speaker
-    if prev:
-        return prev.speaker
-    if nxt:
-        return nxt.speaker
-    return fallback_speaker if fallback_speaker is not None \
-        else speaker_segments[0].speaker
+    return _assign_speakers_batch([word], speaker_segments,
+                                  fallback_speaker=fallback_speaker)[0]
 
 
 def speaker_labels_for_words(words, speaker_segments, fallback_speaker=None):
     """Per-word labels with the orphan-prefix correction (reference
     :930-987): an unmatched word just before a clear pause and a new turn
     moves to the following turn."""
-    labels = [speaker_for_word_by_time(w, speaker_segments,
-                                       fallback_speaker=fallback_speaker)
-              for w in words]
+    labels = _assign_speakers_batch(words, speaker_segments,
+                                    fallback_speaker=fallback_speaker)
     for i in range(len(words) - 1):
         if labels[i] == labels[i + 1]:
             continue

@@ -154,3 +154,59 @@ def test_transcriber_with_diarizer(tmp_path, rng):
         assert res["speaker_segments_raw"]
         assert all("speaker_id" in s for s in res["segments"])
     assert res["timing"]["diarization"] >= 0
+
+
+def test_vectorized_speaker_assignment_matches_linear_scan(rng):
+    """Fuzz: the numpy batch assignment == the original per-word scan."""
+    from sherpa_vietnamese_asr_tpu.pipeline.diarization_post import (
+        Segment, _assign_speakers_batch, _overlap, _word_interval,
+    )
+
+    def linear(word, segs, fb=None):
+        if not segs:
+            return fb if fb is not None else 0
+        w0, w1 = _word_interval(word)
+        if w1 <= w0:
+            w1 = w0 + 0.001
+        mid = (w0 + w1) / 2.0
+        best, bo, bd = None, 0.0, float("inf")
+        for s in segs:
+            ov = _overlap(w0, w1, s.start, s.end)
+            if ov <= 0:
+                continue
+            d = abs((s.start + s.end) / 2.0 - mid)
+            if ov > bo or (ov == bo and d < bd):
+                best, bo, bd = s, ov, d
+        if best is not None:
+            return best.speaker
+        prev = nxt = None
+        for s in segs:
+            if s.end <= mid:
+                if prev is None or s.end > prev.end:
+                    prev = s
+            elif s.start >= mid:
+                if nxt is None or s.start < nxt.start:
+                    nxt = s
+        if prev and nxt:
+            return prev.speaker if mid - prev.end <= nxt.start - mid \
+                else nxt.speaker
+        if prev:
+            return prev.speaker
+        if nxt:
+            return nxt.speaker
+        return fb if fb is not None else segs[0].speaker
+
+    for trial in range(20):
+        n_seg = int(rng.integers(0, 12))
+        segs = []
+        for _ in range(n_seg):
+            a = float(rng.uniform(0, 50))
+            segs.append(Segment(a, a + float(rng.uniform(0.05, 8)),
+                                int(rng.integers(0, 3))))
+        words = []
+        for _ in range(40):
+            a = float(rng.uniform(-2, 55))
+            words.append({"start": a, "end": a + float(rng.uniform(0, 1.2))})
+        got = _assign_speakers_batch(words, segs, fallback_speaker=7)
+        want = [linear(w, segs, 7) for w in words]
+        assert got == want, f"trial {trial}"
