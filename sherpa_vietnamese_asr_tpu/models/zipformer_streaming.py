@@ -6,10 +6,11 @@
 # processing fixed-size chunks with an explicit state pytree —
 #   * per layer: cached key/na/v1/v2 left-context streams (at each stack's
 #     rate) and cached depthwise-conv input tails (causal convolution),
-#   * encoder-embed: cached fbank lookback frames. (The embed ConvNeXt block
-#     keeps its symmetric 7x7 padding, so the last ~3 embed frames of a chunk
-#     see zeros instead of future context — the true export adds
-#     right-context frames per chunk; same API, refine with checkpoints.)
+#   * encoder-embed: cached fbank lookback frames + a cached ConvNeXt left
+#     tail — the 7-tap depthwise conv runs CAUSALLY (pad 6 left from cache,
+#     0 right), so embed outputs are invariant to chunk alignment (the
+#     offline symmetric padding would see zeros where future context
+#     belongs at every chunk edge).
 # Attention is rectangular: queries = current chunk, keys = left-context
 # cache + chunk, with the same relative-position scheme as the offline model
 # (offsets are never positive: causal).
@@ -34,7 +35,6 @@ from sherpa_vietnamese_asr_tpu.models.zipformer import (
     _feed_forward,
     bias_norm,
     compact_rel_pos_emb,
-    encoder_embed,
     linear,
     simple_downsample,
     simple_upsample,
@@ -64,12 +64,23 @@ def _layer_state(batch, t_cache, d, kernel, cfg):
     }
 
 
+def _embed_freq_dim(cfg: ZipformerConfig) -> int:
+    """Frequency bins after the conv1/conv2/conv3 stack (80 -> 19)."""
+    f = cfg.num_features              # conv1: k3 freq-pad 1 keeps F
+    f = (f - 3) // 2 + 1              # conv2: k3 stride 2 no pad
+    return (f - 3) // 2 + 1           # conv3: k3 stride 2 no pad
+
+
 def init_streaming_state(cfg: ZipformerConfig, scfg: StreamingConfig,
                          batch: int):
     """State pytree for streaming_step."""
     state = {
         "fbank_tail": jnp.zeros((batch, scfg.fbank_lookback, cfg.num_features),
                                 jnp.float32),
+        # ConvNeXt left context at the embed rate (causal 7-tap depthwise).
+        "convnext_tail": jnp.zeros(
+            (batch, 6, _embed_freq_dim(cfg), cfg.embed_layer3_channels),
+            jnp.float32),
         "stacks": [],
     }
     for i in range(len(cfg.num_encoder_layers)):
@@ -83,6 +94,64 @@ def init_streaming_state(cfg: ZipformerConfig, scfg: StreamingConfig,
         ]
         state["stacks"].append(layers)
     return state
+
+
+def _streaming_embed(p, x, cn_tail, cfg: ZipformerConfig):
+    """Causal streaming Conv2dSubsampling + ConvNeXt.
+
+    x: [B, T, 80] fbank with the 7-frame lookback prepended (so the valid
+    conv stack consumes it exactly); cn_tail: [B, 6, F', C3] cached ConvNeXt
+    input frames at the embed rate. The offline encoder_embed pads the
+    ConvNeXt's 7-tap time axis symmetrically (3, 3); a chunked run would
+    then see zeros where future context belongs and the output would depend
+    on chunk alignment. Streaming uses a CAUSAL tap instead — pad 6 on the
+    left from the carried tail, 0 on the right — mirroring the cached
+    left-pad scheme of streaming Zipformer exports (reference
+    streaming_asr_online.py:77 ships a separately-trained streaming
+    checkpoint for the same reason). Outputs are chunking-invariant.
+
+    Returns (embedded [B, (T-7)//2, D0], new_tail).
+    """
+    import jax
+
+    from sherpa_vietnamese_asr_tpu.models.zipformer import (
+        linear as _lin, swoosh_l as _swl, swoosh_r as _swr,
+    )
+
+    dt = jnp.dtype(cfg.compute_dtype)
+    b = x.shape[0]
+    h = x[:, :, :, None].astype(dt)
+    h = jax.lax.conv_general_dilated(
+        h, p["conv1"]["weight"].astype(dt), (1, 1), [(0, 0), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    h = _swr(h + p["conv1"]["bias"].astype(dt))
+    h = jax.lax.conv_general_dilated(
+        h, p["conv2"]["weight"].astype(dt), (2, 2), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    h = _swr(h + p["conv2"]["bias"].astype(dt))
+    h = jax.lax.conv_general_dilated(
+        h, p["conv3"]["weight"].astype(dt), (1, 2), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    h = _swr(h + p["conv3"]["bias"].astype(dt))  # [B, C, F', C3]
+
+    full = jnp.concatenate([cn_tail.astype(dt), h], axis=1)  # [B, 6+C, F', C3]
+    c3 = h.shape[-1]
+    g = jax.lax.conv_general_dilated(
+        full, p["convnext_dw"]["weight"].astype(dt), (1, 1),
+        [(0, 0), (3, 3)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c3)                               # [B, C, F', C3]
+    g = g + p["convnext_dw"]["bias"].astype(dt)
+    g = _lin(jax.tree.map(lambda a: a.astype(dt), p["convnext_pw1"]), g)
+    g = _swl(g)
+    g = _lin(jax.tree.map(lambda a: a.astype(dt), p["convnext_pw2"]), g)
+    h = h + g
+    new_tail = full[:, -6:].astype(jnp.float32)
+
+    bt = h.shape[1]
+    h = jnp.transpose(h, (0, 1, 3, 2)).reshape(b, bt, -1)
+    h = _lin(jax.tree.map(lambda a: a.astype(dt), p["out"]), h)
+    h = bias_norm(p["out_norm"], h.astype(jnp.float32))
+    return h, new_tail
 
 
 def _streaming_attention(p, x_cache, x, pos_emb_block, heads, cfg):
@@ -223,10 +292,8 @@ def streaming_step(params, state, fbank_chunk,
 
     with_tail = jnp.concatenate([state["fbank_tail"], fbank_chunk], axis=1)
     new_state["fbank_tail"] = with_tail[:, -scfg.fbank_lookback:]
-    t_in = with_tail.shape[1]
-    lens = jnp.full((b,), t_in, jnp.int32)
-    h = encoder_embed(params["encoder_embed"], with_tail, (lens - 7) // 2,
-                      cfg)  # [B, ~chunk_frames, D0]
+    h, new_state["convnext_tail"] = _streaming_embed(
+        params["encoder_embed"], with_tail, state["convnext_tail"], cfg)
     h = h[:, -scfg.chunk_frames:]
 
     outputs = []

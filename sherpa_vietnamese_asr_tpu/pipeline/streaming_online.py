@@ -209,6 +209,11 @@ class CachedStreamingRecognizer:
         self.enc_state = init_streaming_state(self.model.zip_cfg, self.scfg, 1)
         self.ctx = np.zeros((2,), np.int32)
         self.tokens = []
+        # Drop unconsumed buffered audio: reset starts a NEW utterance;
+        # leftovers would otherwise leak into it.
+        self.sample_buffer = np.array([], np.float32)
+        self.frame_cursor = 0
+        self.total_samples = 0
 
 
 def _greedy_chunk_decode(enc_chunk, ctx, dec_params, joi_params, cfg):

@@ -106,3 +106,33 @@ def test_streaming_jit_compiles(setup, rng):
     out1, s = step(params, s, chunk)
     out2, s = step(params, s, chunk)  # second call reuses the compile
     assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_streaming_embed_chunking_invariant(rng):
+    """The causal cached ConvNeXt makes embed outputs independent of where
+    chunk boundaries fall: two chunks processed sequentially == one pass."""
+    import jax
+    import jax.numpy as jnp
+
+    from sherpa_vietnamese_asr_tpu.models.registry import TINY_ZIPFORMER
+    from sherpa_vietnamese_asr_tpu.models.zipformer import init_encoder_embed
+    from sherpa_vietnamese_asr_tpu.models.zipformer_streaming import (
+        _embed_freq_dim, _streaming_embed,
+    )
+
+    cfg = TINY_ZIPFORMER
+    p = init_encoder_embed(jax.random.PRNGKey(0), cfg)
+    b, look = 2, 7
+    c3 = cfg.embed_layer3_channels
+    fdim = _embed_freq_dim(cfg)
+    # 64+64 fbank frames plus lookback; process as one pass and as 2 chunks
+    x = jnp.asarray(rng.standard_normal((b, look + 128, cfg.num_features))
+                    .astype(np.float32))
+    tail0 = jnp.zeros((b, 6, fdim, c3), jnp.float32)
+    full, _ = _streaming_embed(p, x, tail0, cfg)
+
+    h1, tail1 = _streaming_embed(p, x[:, : look + 64], tail0, cfg)
+    h2, _ = _streaming_embed(p, x[:, 64:], tail1, cfg)
+    got = jnp.concatenate([h1, h2], axis=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(full),
+                               atol=1e-5, rtol=1e-5)
