@@ -60,29 +60,48 @@ def cmd_transcribe(args):
     }
     diarizer = None
     if args.diarize:
+        import os
+
         from sherpa_vietnamese_asr_tpu.pipeline.diarization_pure import (
             PureDiarizer,
         )
-        diarizer = PureDiarizer(num_speakers=args.num_speakers or -1)
+        diarizer = PureDiarizer(
+            num_speakers=args.num_speakers or -1,
+            model_dir=args.model if os.path.isdir(args.model) else None)
+    punct_restorer = None
+    if args.punctuate:
+        import os
+
+        from sherpa_vietnamese_asr_tpu.pipeline.punctuation import (
+            build_punctuation_restorer,
+        )
+        punct_restorer = build_punctuation_restorer(
+            model_dir=args.model if os.path.isdir(args.model) else None)
+    quality_analyzer = None
+    if args.quality:
+        from sherpa_vietnamese_asr_tpu.pipeline.quality import (
+            QualityAnalyzer,
+        )
+        quality_analyzer = QualityAnalyzer()
 
     def progress(msg):
         if args.verbose and msg.startswith("PHASE:"):
             print(msg, file=sys.stderr)
 
+    kw = dict(progress_callback=progress, diarizer=diarizer,
+              punct_restorer=punct_restorer,
+              quality_analyzer=quality_analyzer)
     t0 = time.time()
     if args.profile:
         import jax
 
         with jax.profiler.trace(args.profile):
             result = TranscriberPipeline(args.audio, model, config,
-                                         progress_callback=progress,
-                                         diarizer=diarizer).run()
+                                         **kw).run()
         print(f"[cli] profiler trace written to {args.profile}",
               file=sys.stderr)
     else:
-        result = TranscriberPipeline(args.audio, model, config,
-                                     progress_callback=progress,
-                                     diarizer=diarizer).run()
+        result = TranscriberPipeline(args.audio, model, config, **kw).run()
     dt = time.time() - t0
     if result is None:
         print("cancelled", file=sys.stderr)
@@ -228,6 +247,8 @@ def main(argv=None):
     t.add_argument("--rover", action="store_true")
     t.add_argument("--diarize", action="store_true")
     t.add_argument("--punctuate", action="store_true")
+    t.add_argument("--quality", action="store_true",
+                   help="DNSMOS audio-quality analysis")
     t.add_argument("--num-speakers", type=int, default=0)
     t.add_argument("--max-batch", type=int, default=8)
     t.add_argument("--rms-normalize", action="store_true")

@@ -400,3 +400,185 @@ def zipformer_name_map(params, zcfg):
     m["encoder.downsample_output.bias"] = (
         setter(params["downsample_output"], "weights"), None)
     return m
+
+
+def vibert_name_map(params, cfg):
+    """HF-BERT state-dict initializer names -> pytree setters for the
+    Seq2Labels ViBERT (reference convert_onnx/export_vibert_onnx.py wraps
+    BertModel as `bert` plus `classifier`/`detector` heads — HF module
+    paths become the ONNX initializer names)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    def setter(node, key):
+        def set_fn(arr):
+            node[key] = jnp.asarray(arr)
+        return set_fn
+
+    def lin_t(a):
+        return np.ascontiguousarray(a.T)
+
+    m = {
+        "bert.embeddings.word_embeddings.weight":
+            (setter(params, "word_emb"), None),
+        "bert.embeddings.position_embeddings.weight":
+            (setter(params, "pos_emb"), None),
+        "bert.embeddings.token_type_embeddings.weight":
+            (setter(params, "type_emb"), None),
+        "bert.embeddings.LayerNorm.weight":
+            (setter(params["emb_ln"], "scale"), None),
+        "bert.embeddings.LayerNorm.bias":
+            (setter(params["emb_ln"], "bias"), None),
+        "classifier.weight": (setter(params["labels_head"], "weight"), lin_t),
+        "classifier.bias": (setter(params["labels_head"], "bias"), None),
+        "detector.weight": (setter(params["d_tags_head"], "weight"), lin_t),
+        "detector.bias": (setter(params["d_tags_head"], "bias"), None),
+    }
+    for i, lp in enumerate(params["layers"]):
+        lb = f"bert.encoder.layer.{i}"
+        for src, dst in (("attention.self.query", "q"),
+                         ("attention.self.key", "k"),
+                         ("attention.self.value", "v"),
+                         ("attention.output.dense", "attn_out"),
+                         ("intermediate.dense", "ffn_in"),
+                         ("output.dense", "ffn_out")):
+            m[f"{lb}.{src}.weight"] = (setter(lp[dst], "weight"), lin_t)
+            m[f"{lb}.{src}.bias"] = (setter(lp[dst], "bias"), None)
+        for src, dst in (("attention.output.LayerNorm", "attn_ln"),
+                         ("output.LayerNorm", "ffn_ln")):
+            m[f"{lb}.{src}.weight"] = (setter(lp[dst], "scale"), None)
+            m[f"{lb}.{src}.bias"] = (setter(lp[dst], "bias"), None)
+    return m
+
+
+def load_vibert(path, cfg=None):
+    """Load vibert-capu.onnx (reference core/gec_model.py:133) into
+    (params, cfg). Shape-infers vocab/hidden/layers/intermediate from the
+    initializers; heads default to hidden // 64 (BERT convention)."""
+    import jax
+
+    from sherpa_vietnamese_asr_tpu.models.vibert import (
+        ViBertConfig, init_vibert_params,
+    )
+
+    g = read_onnx(path)
+    init = _strip_prefixes(g["initializers"])
+    if cfg is None:
+        we = init.get("bert.embeddings.word_embeddings.weight")
+        if we is None:
+            raise ImportReport(
+                "[vibert] bert.embeddings.word_embeddings.weight not found; "
+                f"first names: {sorted(init)[:8]}")
+        vocab, hidden = we.shape
+        layers = 0
+        while f"bert.encoder.layer.{layers}.attention.self.query.weight" \
+                in init:
+            layers += 1
+        inter = init[
+            "bert.encoder.layer.0.intermediate.dense.weight"].shape[0]
+        pos = init["bert.embeddings.position_embeddings.weight"].shape[0]
+        n_labels = init["classifier.weight"].shape[0]
+        n_d_tags = init["detector.weight"].shape[0]
+        cfg = ViBertConfig(vocab_size=vocab, hidden=hidden, layers=layers,
+                           heads=max(1, hidden // 64), intermediate=inter,
+                           max_position=pos, n_labels=n_labels,
+                           n_d_tags=n_d_tags)
+    params = init_vibert_params(jax.random.PRNGKey(0), cfg)
+    map_initializers(init, vibert_name_map(params, cfg), strict=True,
+                     label="vibert")
+    return params, cfg
+
+
+def pyannet_name_map(params, cfg):
+    """pyannote.audio PyanNet state-dict names -> pytree setters
+    (segmentation-community-1.onnx, reference pure_ort.py:441). Torch LSTM
+    weight_ih/weight_hh are [4H, in] -> transposed; bias_ih + bias_hh sum
+    into our single gate bias, so bias_hh uses an accumulating setter."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    def setter(node, key):
+        def set_fn(arr):
+            node[key] = jnp.asarray(arr)
+        return set_fn
+
+    def adder(node, key):
+        def set_fn(arr):
+            node[key] = node[key] + jnp.asarray(arr)
+        return set_fn
+
+    def lin_t(a):
+        return np.ascontiguousarray(a.T)
+
+    def conv1d_t(a):  # [O, I, K] -> [K, I, O]
+        return np.ascontiguousarray(np.transpose(a, (2, 1, 0)))
+
+    m = {
+        "sincnet.conv1d.0.low_hz_": (setter(params, "sinc_low_hz"), None),
+        "sincnet.conv1d.0.band_hz_": (setter(params, "sinc_band_hz"), None),
+        "sincnet.wav_norm1d.weight": (setter(params["wav_norm"], "scale"),
+                                      None),
+        "sincnet.wav_norm1d.bias": (setter(params["wav_norm"], "bias"), None),
+        "classifier.weight": (setter(params["classifier"], "weight"), lin_t),
+        "classifier.bias": (setter(params["classifier"], "bias"), None),
+    }
+    for i in range(3):
+        m[f"sincnet.norm1d.{i}.weight"] = (
+            setter(params["norms"][i], "scale"), None)
+        m[f"sincnet.norm1d.{i}.bias"] = (
+            setter(params["norms"][i], "bias"), None)
+    for i, conv in enumerate(params["convs"]):
+        m[f"sincnet.conv1d.{i + 1}.weight"] = (setter(conv, "weight"),
+                                               conv1d_t)
+        m[f"sincnet.conv1d.{i + 1}.bias"] = (setter(conv, "bias"), None)
+    for k, layer in enumerate(params["lstm"]):
+        for suffix, dst in (("", "fwd"), ("_reverse", "bwd")):
+            m[f"lstm.weight_ih_l{k}{suffix}"] = (
+                setter(layer[dst], "wi"), lin_t)
+            m[f"lstm.weight_hh_l{k}{suffix}"] = (
+                setter(layer[dst], "wh"), lin_t)
+            m[f"lstm.bias_ih_l{k}{suffix}"] = (setter(layer[dst], "b"), None)
+            m[f"lstm.bias_hh_l{k}{suffix}"] = (adder(layer[dst], "b"), None)
+    for i in (1, 2):
+        m[f"linear.{i - 1}.weight"] = (
+            setter(params[f"linear{i}"], "weight"), lin_t)
+        m[f"linear.{i - 1}.bias"] = (setter(params[f"linear{i}"], "bias"),
+                                     None)
+    return m
+
+
+def load_pyannet(path, cfg=None):
+    """Load segmentation-community-1.onnx into (params, cfg)."""
+    import jax
+
+    from sherpa_vietnamese_asr_tpu.models.pyannet import (
+        PyanNetConfig, init_pyannet_params,
+    )
+
+    g = read_onnx(path)
+    init = _strip_prefixes(g["initializers"])
+    if cfg is None:
+        low = init.get("sincnet.conv1d.0.low_hz_")
+        if low is None:
+            raise ImportReport(
+                "[pyannet] sincnet.conv1d.0.low_hz_ not found; first names: "
+                f"{sorted(init)[:8]}")
+        n_lstm = 0
+        while f"lstm.weight_ih_l{n_lstm}" in init:
+            n_lstm += 1
+        cfg = PyanNetConfig(
+            sinc_filters=low.shape[0],
+            conv_channels=init["sincnet.conv1d.1.weight"].shape[0],
+            lstm_hidden=init["lstm.weight_hh_l0"].shape[1],
+            lstm_layers=n_lstm,
+            linear_dim=init["linear.0.weight"].shape[0],
+            num_classes=init["classifier.weight"].shape[0])
+    params = init_pyannet_params(jax.random.PRNGKey(0), cfg)
+    # bias uses an accumulating setter: zero it before mapping.
+    import jax.numpy as jnp
+    for layer in params["lstm"]:
+        for d in ("fwd", "bwd"):
+            layer[d]["b"] = jnp.zeros_like(layer[d]["b"])
+    map_initializers(init, pyannet_name_map(params, cfg), strict=True,
+                     label="pyannet")
+    return params, cfg

@@ -52,9 +52,18 @@ def init_pyannet_params(rng, cfg: PyanNetConfig = PyanNetConfig()):
                       2595 * np.log10(1 + high_hz / 700),
                       cfg.sinc_filters + 1)
     hz = 700 * (10 ** (mel / 2595) - 1)
+    def affine(c):
+        # pyannote's InstanceNorm1d layers are affine=True; identity init
+        # keeps random-weight behavior identical to the plain norm.
+        return {"scale": jnp.ones((c,), jnp.float32),
+                "bias": jnp.zeros((c,), jnp.float32)}
+
     params = {
         "sinc_low_hz": jnp.asarray(hz[:-1, None], jnp.float32),
         "sinc_band_hz": jnp.asarray(np.diff(hz)[:, None], jnp.float32),
+        "wav_norm": affine(1),
+        "norms": [affine(cfg.sinc_filters), affine(cfg.conv_channels),
+                  affine(cfg.conv_channels)],
         "convs": [],
         "lstm": [],
     }
@@ -110,11 +119,15 @@ def _sinc_filters(params, cfg: PyanNetConfig):
     return jnp.transpose(filters, (1, 0))[:, None, :]  # [K, 1, F]
 
 
-def _instance_norm(x, eps=1e-5):
-    """Per-sample, per-channel normalization over time. x: [B, T, C]."""
+def _instance_norm(x, p=None, eps=1e-5):
+    """Per-sample, per-channel normalization over time (affine when p is
+    given — pyannote InstanceNorm1d(affine=True)). x: [B, T, C]."""
     mu = jnp.mean(x, axis=1, keepdims=True)
     var = jnp.var(x, axis=1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps)
+    out = (x - mu) * jax.lax.rsqrt(var + eps)
+    if p is not None:
+        out = out * p["scale"] + p["bias"]
+    return out
 
 
 def _max_pool_time(x, k):
@@ -152,7 +165,7 @@ def _bilstm_layer(p, x):
 def pyannet_forward(params, audio, cfg: PyanNetConfig = PyanNetConfig()):
     """audio: [B, 160000] -> [B, 589, 7] log-softmax powerset scores."""
     x = audio[:, :, None]  # [B, T, 1]
-    x = _instance_norm(x)
+    x = _instance_norm(x, params.get("wav_norm"))
     # SincConv expressed as frame-gather + matmul: a direct conv with
     # kernel 251 / stride 10 compiles pathologically on the TPU backend,
     # while framing + a [251, F] matmul rides the MXU (same numbers).
@@ -165,13 +178,16 @@ def pyannet_forward(params, audio, cfg: PyanNetConfig = PyanNetConfig()):
     x = jnp.einsum("btk,kf->btf", frames, filters)
     x = jnp.abs(x)
     x = _max_pool_time(x, cfg.pool)
-    x = _instance_norm(x)
-    for conv in params["convs"]:
+    norms = params.get("norms") or [None] * 3
+    # pyannote SincNet: leaky_relu(norm(pool(...))) on ALL blocks, including
+    # the sinc block (abs applied before pooling only there).
+    x = jax.nn.leaky_relu(_instance_norm(x, norms[0]), 0.01)
+    for ci, conv in enumerate(params["convs"]):
         x = jax.lax.conv_general_dilated(
             x, conv["weight"], (1,), [(0, 0)],
             dimension_numbers=("NHC", "HIO", "NHC")) + conv["bias"]
         x = _max_pool_time(x, cfg.pool)
-        x = _instance_norm(x)
+        x = _instance_norm(x, norms[ci + 1])
         x = jax.nn.leaky_relu(x, 0.01)
     for layer in params["lstm"]:
         x = _bilstm_layer(layer, x)

@@ -414,12 +414,27 @@ class PureDiarizer:
                  num_speakers=-1, min_speakers=None, max_speakers=None,
                  segmentation_batch_size=32, embedding_batch_size=64,
                  fused=True, superblock_windows=64,
-                 transfer_dtype="int16"):
+                 transfer_dtype="int16", model_dir=None):
+        import os
+
         from sherpa_vietnamese_asr_tpu.models.pyannet import PyanNetConfig
         from sherpa_vietnamese_asr_tpu.models.resnet_speaker import (
             ResNetSpeakerConfig, init_resnet_params,
         )
         from sherpa_vietnamese_asr_tpu.models.pyannet import init_pyannet_params
+
+        if model_dir and seg_params is None:
+            seg_onnx = os.path.join(model_dir,
+                                    "segmentation-community-1.onnx")
+            if os.path.exists(seg_onnx):
+                from sherpa_vietnamese_asr_tpu.models.onnx_import import (
+                    load_pyannet,
+                )
+                seg_params, seg_cfg = load_pyannet(seg_onnx)
+        if model_dir and plda_data is None:
+            plda_npz = os.path.join(model_dir, "plda_prepared.npz")
+            if os.path.exists(plda_npz):
+                plda_data = load_plda(plda_npz)
 
         self.seg_cfg = seg_cfg or PyanNetConfig()
         self.emb_cfg = emb_cfg or ResNetSpeakerConfig()

@@ -11,6 +11,53 @@ from __future__ import annotations
 import re
 
 
+def build_punctuation_restorer(model_dir=None, confidence=0.3,
+                               case_confidence=0.0, **gec_kw):
+    """Construct a PunctuationRestorer.
+
+    With model_dir containing vibert-capu.onnx (+ vocab.txt), loads the real
+    checkpoint (models/onnx_import.load_vibert); otherwise builds an
+    architecture-true random-weight 12-layer ViBERT with a synthetic
+    WordPiece vocab — same shape/latency, placeholder predictions.
+    (Reference core/gec_model.py:133-199 loads the same files.)
+    """
+    import os
+
+    import jax
+
+    from sherpa_vietnamese_asr_tpu.pipeline.gec import GecBert
+    from sherpa_vietnamese_asr_tpu.utils.wordpiece import WordPieceTokenizer
+
+    params = cfg = None
+    vocab = None
+    if model_dir:
+        onnx_path = os.path.join(model_dir, "vibert-capu.onnx")
+        vocab_path = os.path.join(model_dir, "vocab.txt")
+        if os.path.exists(onnx_path):
+            from sherpa_vietnamese_asr_tpu.models.onnx_import import (
+                load_vibert,
+            )
+            params, cfg = load_vibert(onnx_path)
+        if os.path.exists(vocab_path):
+            with open(vocab_path, encoding="utf-8") as f:
+                vocab = [line.rstrip("\n") for line in f]
+    if params is None:
+        from sherpa_vietnamese_asr_tpu.models.vibert import (
+            ViBertConfig, init_vibert_params,
+        )
+        cfg = ViBertConfig()
+        params = init_vibert_params(jax.random.PRNGKey(0), cfg)
+    if vocab is None:
+        vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]"]
+        for c in "abcdefghijklmnopqrstuvwxyz0123456789":
+            vocab += [c, "##" + c]
+    gec = GecBert(params, cfg, WordPieceTokenizer(vocab),
+                  confidence=confidence, case_confidence=case_confidence,
+                  **gec_kw)
+    return PunctuationRestorer(gec, confidence=confidence,
+                               case_confidence=case_confidence)
+
+
 class PunctuationRestorer:
     def __init__(self, gec_model, confidence=0.3, case_confidence=0.0):
         """gec_model: a pipeline.gec.GecBert instance (confidence values are

@@ -108,6 +108,33 @@ class TranscriberPipeline:
         self.punct_restorer = punct_restorer  # pipeline.punctuation instance
         self.diarizer = diarizer  # pipeline.diarization_pure.PureDiarizer
         self.quality_analyzer = quality_analyzer  # pipeline.quality instance
+        # Default construction from config flags (the reference's engine
+        # builds these internally, asr_engine.py:1940-2040): callers like
+        # the web-service queue pass only the config dict.
+        if (self.diarizer is None
+                and self.config.get("speaker_diarization", False)):
+            from sherpa_vietnamese_asr_tpu.pipeline.diarization import (
+                SPEAKER_EMBEDDING_MODELS, SpeakerDiarizer,
+            )
+            model_key = self.config.get("speaker_model", "pure_ort")
+            model_id = model_key if model_key in SPEAKER_EMBEDDING_MODELS \
+                else "community1_pure_ort"
+            self.diarizer = SpeakerDiarizer(
+                embedding_model_id=model_id,
+                num_clusters=int(self.config.get("num_speakers", 0)) or -1,
+                threshold=float(self.config.get("diarization_threshold",
+                                                0.6)))
+        if (self.punct_restorer is None
+                and self.config.get("restore_punctuation", False)
+                and not self.config.get("bypass_restorer", False)):
+            from sherpa_vietnamese_asr_tpu.pipeline.punctuation import (
+                build_punctuation_restorer,
+            )
+            self.punct_restorer = build_punctuation_restorer(
+                confidence=float(self.config.get("punctuation_confidence",
+                                                 0.3)),
+                case_confidence=float(self.config.get("case_confidence",
+                                                      0.0)))
         self._phase_file = str(file_path) + ".asr_phase"
 
     # -- progress protocol (asr_engine.py:1904-1928) --
