@@ -582,3 +582,130 @@ def load_pyannet(path, cfg=None):
     map_initializers(init, pyannet_name_map(params, cfg), strict=True,
                      label="pyannet")
     return params, cfg
+
+
+def campp_name_map(params, cfg):
+    """3D-Speaker CAMPPlus state-dict names -> pytree setters (reference
+    convert_onnx/export_campplus_onnx.py defines the module tree: head.* FCM,
+    xvector.tdnn / block{i}.tdnnd{j} / transit{i} / out_nonlinear / dense;
+    get_nonlinear children are named 'batchnorm'/'relu')."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    def setter(node, key):
+        def set_fn(arr):
+            node[key] = jnp.asarray(arr)
+        return set_fn
+
+    def lin_t(a):
+        return np.ascontiguousarray(a.T)
+
+    def conv2d_t(a):  # [O, I, kh, kw] -> [kh, kw, I, O]
+        return np.ascontiguousarray(np.transpose(a, (2, 3, 1, 0)))
+
+    def conv1d_t(a):  # [O, I, K] -> [K, I, O]
+        return np.ascontiguousarray(np.transpose(a, (2, 1, 0)))
+
+    def conv1x1_lin_t(a):  # 1x1 Conv1d [O, I, 1] used as a linear
+        return np.ascontiguousarray(a[:, :, 0].T)
+
+    m = {}
+
+    def bn(prefix, node, affine=True):
+        if affine:
+            m[f"{prefix}.weight"] = (setter(node, "scale"), None)
+            m[f"{prefix}.bias"] = (setter(node, "bias"), None)
+        m[f"{prefix}.running_mean"] = (setter(node, "mean"), None)
+        m[f"{prefix}.running_var"] = (setter(node, "var"), None)
+
+    fcm = params["fcm"]
+    m["head.conv1.weight"] = (setter(fcm["conv1"], "weight"), conv2d_t)
+    bn("head.bn1", fcm["bn1"])
+    for li, layer_name in ((1, "layer1"), (2, "layer2")):
+        for j, blk in enumerate(fcm[layer_name]):
+            pre = f"head.layer{li}.{j}"
+            m[f"{pre}.conv1.weight"] = (setter(blk["conv1"], "weight"),
+                                        conv2d_t)
+            bn(f"{pre}.bn1", blk["bn1"])
+            m[f"{pre}.conv2.weight"] = (setter(blk["conv2"], "weight"),
+                                        conv2d_t)
+            bn(f"{pre}.bn2", blk["bn2"])
+            if "shortcut_conv" in blk:
+                m[f"{pre}.shortcut.0.weight"] = (
+                    setter(blk["shortcut_conv"], "weight"), conv2d_t)
+                bn(f"{pre}.shortcut.1", blk["shortcut_bn"])
+    m["head.conv2.weight"] = (setter(fcm["conv2"], "weight"), conv2d_t)
+    bn("head.bn2", fcm["bn2"])
+
+    m["xvector.tdnn.linear.weight"] = (setter(params["tdnn"], "weight"),
+                                       conv1d_t)
+    bn("xvector.tdnn.nonlinear.batchnorm", params["tdnn_bn"])
+    for bi, block in enumerate(params["blocks"]):
+        for j, layer in enumerate(block):
+            pre = f"xvector.block{bi + 1}.tdnnd{j + 1}"
+            bn(f"{pre}.nonlinear1.batchnorm", layer["bn1"])
+            m[f"{pre}.linear1.weight"] = (setter(layer["lin1"], "weight"),
+                                          conv1d_t)
+            bn(f"{pre}.nonlinear2.batchnorm", layer["bn2"])
+            m[f"{pre}.cam_layer.linear_local.weight"] = (
+                setter(layer["local"], "weight"), conv1d_t)
+            m[f"{pre}.cam_layer.linear1.weight"] = (
+                setter(layer["cam1"], "weight"), conv1x1_lin_t)
+            m[f"{pre}.cam_layer.linear1.bias"] = (
+                setter(layer["cam1"], "bias"), None)
+            m[f"{pre}.cam_layer.linear2.weight"] = (
+                setter(layer["cam2"], "weight"), conv1x1_lin_t)
+            m[f"{pre}.cam_layer.linear2.bias"] = (
+                setter(layer["cam2"], "bias"), None)
+        pre = f"xvector.transit{bi + 1}"
+        bn(f"{pre}.nonlinear.batchnorm", params["transitions"][bi]["bn"])
+        m[f"{pre}.linear.weight"] = (
+            setter(params["transitions"][bi]["conv"], "weight"), conv1d_t)
+    bn("xvector.out_nonlinear.batchnorm", params["final_bn"])
+    m["xvector.dense.linear.weight"] = (
+        setter(params["dense"]["lin"], "weight"), conv1x1_lin_t)
+    bn("xvector.dense.nonlinear.batchnorm", params["dense"]["bn"],
+       affine=False)
+    return m
+
+
+def load_campp(path, cfg=None):
+    """Load campplus_cn_en_common_200k.onnx into (params, cfg)."""
+    import jax
+
+    from sherpa_vietnamese_asr_tpu.models.campplus import (
+        CamppConfig, init_campp_params,
+    )
+
+    g = read_onnx(path)
+    init = _strip_prefixes(g["initializers"])
+    if cfg is None:
+        tdnn_w = init.get("xvector.tdnn.linear.weight")
+        if tdnn_w is None:
+            raise ImportReport(
+                "[campp] xvector.tdnn.linear.weight not found; first names: "
+                f"{sorted(init)[:8]}")
+        init_ch, fcm_out = tdnn_w.shape[:2]
+        mc = init["head.conv1.weight"].shape[0]
+        blocks, layers = [], []
+        bi = 1
+        while f"xvector.block{bi}.tdnnd1.linear1.weight" in init:
+            j = 1
+            while f"xvector.block{bi}.tdnnd{j}.linear1.weight" in init:
+                j += 1
+            layers.append(j - 1)
+            bi += 1
+        growth = init[
+            "xvector.block1.tdnnd1.cam_layer.linear_local.weight"].shape[0]
+        bn_ch = init["xvector.block1.tdnnd1.linear1.weight"].shape[0]
+        embed = init["xvector.dense.linear.weight"].shape[0]
+        cfg = CamppConfig(num_mels=fcm_out // mc * 8, m_channels=mc,
+                          init_channels=init_ch, growth_rate=growth,
+                          bn_size=bn_ch // growth,
+                          block_layers=tuple(layers),
+                          dilations=(1, 2, 2)[: len(layers)],
+                          embed_dim=embed)
+    params = init_campp_params(jax.random.PRNGKey(0), cfg)
+    map_initializers(init, campp_name_map(params, cfg), strict=True,
+                     label="campp")
+    return params, cfg

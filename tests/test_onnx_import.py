@@ -312,3 +312,69 @@ def test_pyannet_roundtrip_via_name_map(tmp_path, rng):
     a = np.asarray(pyannet_forward(src, audio, cfg))
     b = np.asarray(pyannet_forward(params, audio, got_cfg))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_campp_roundtrip_via_name_map(tmp_path, rng):
+    """Synthesize a CAM++ ONNX with 3D-Speaker state-dict names and check
+    the imported embedding matches the source params."""
+    import jax
+    import jax.numpy as jnp
+
+    from sherpa_vietnamese_asr_tpu.models.campplus import (
+        TINY_CAMPP, campp_embed, init_campp_params,
+    )
+    from sherpa_vietnamese_asr_tpu.models.onnx_import import (
+        campp_name_map, load_campp,
+    )
+
+    src = init_campp_params(jax.random.PRNGKey(9), TINY_CAMPP)
+    # randomize BN stats so the map is exercised
+    def walk(node):
+        if isinstance(node, dict):
+            if "mean" in node and "var" in node:
+                node["mean"] = jnp.asarray(
+                    0.1 * rng.standard_normal(node["mean"].shape), jnp.float32)
+                node["var"] = jnp.asarray(
+                    1.0 + 0.1 * rng.random(node["var"].shape), jnp.float32)
+            for v in node.values():
+                walk(v)
+        elif isinstance(node, list):
+            for v in node:
+                walk(v)
+    walk(src)
+
+    # invert the name map's transforms to synthesize torch-layout tensors
+    inv = {}
+    for name, (set_fn, transform) in campp_name_map(src, TINY_CAMPP).items():
+        node = key = None
+        for cell in set_fn.__closure__:
+            v = cell.cell_contents
+            if isinstance(v, str):
+                key = v
+            elif isinstance(v, dict):
+                node = v
+        arr = np.asarray(node[key])
+        if transform is None:
+            inv[name] = arr
+        else:
+            tname = transform.__name__
+            if tname == "lin_t" or tname == "conv1x1_lin_t":
+                inv[name] = arr.T if tname == "lin_t" else arr.T[:, :, None]
+            elif tname == "conv2d_t":
+                inv[name] = np.transpose(arr, (3, 2, 0, 1))
+            elif tname == "conv1d_t":
+                inv[name] = np.transpose(arr, (2, 1, 0))
+            else:
+                raise AssertionError(tname)
+    p = tmp_path / "campplus_cn_en_common_200k.onnx"
+    p.write_bytes(make_onnx({k: np.ascontiguousarray(v)
+                             for k, v in inv.items()}))
+
+    params, cfg = load_campp(str(p))
+    assert cfg.block_layers == TINY_CAMPP.block_layers
+    assert cfg.embed_dim == TINY_CAMPP.embed_dim
+
+    fb = jnp.asarray(rng.standard_normal((2, 150, 80)).astype(np.float32))
+    a = np.asarray(campp_embed(src, fb, TINY_CAMPP))
+    b = np.asarray(campp_embed(params, fb, cfg))
+    np.testing.assert_allclose(a, b, atol=1e-5)
