@@ -56,6 +56,8 @@ def init_convtasnet_params(rng, cfg: ConvTasNetConfig = ConvTasNetConfig()):
         "blocks": [],
         "mask_out": _conv_init(next(keys), 1, cfg.skip,
                                cfg.n_src * cfg.n_filters),
+        # asteroid nn.PReLU() alphas: single learnable scalar per module
+        "mask_prelu": jnp.full((1,), 0.25, jnp.float32),
         "decoder": jax.random.normal(next(keys),
                                      (cfg.n_filters, cfg.kernel))
         / math.sqrt(cfg.n_filters),
@@ -71,6 +73,8 @@ def init_convtasnet_params(rng, cfg: ConvTasNetConfig = ConvTasNetConfig()):
                     / math.sqrt(cfg.conv_kernel),
                     "bias": jnp.zeros((cfg.hidden,))},
                 "ln2": _gln_init(cfg.hidden),
+                "prelu1": jnp.full((1,), 0.25, jnp.float32),
+                "prelu2": jnp.full((1,), 0.25, jnp.float32),
                 "res_conv": _conv_init(next(keys), 1, cfg.hidden,
                                        cfg.bottleneck),
                 "skip_conv": _conv_init(next(keys), 1, cfg.hidden, cfg.skip),
@@ -98,7 +102,7 @@ def _conv1d(p, x, dilation=1, groups=1, pad="same"):
         feature_group_count=groups) + p["bias"]
 
 
-def _prelu(x, alpha=0.25):
+def _prelu(x, alpha):
     return jnp.where(x >= 0, x, alpha * x)
 
 
@@ -123,13 +127,14 @@ def convtasnet_separate(params, mixture, cfg: ConvTasNetConfig = ConvTasNetConfi
     for bi, blk in enumerate(params["blocks"]):
         dilation = 2 ** (bi % cfg.n_blocks)
         y = _conv1d(blk["in_conv"], h)
-        y = _glob_ln(blk["ln1"], _prelu(y))
+        y = _glob_ln(blk["ln1"], _prelu(y, blk["prelu1"]))
         y = _conv1d(blk["dw_conv"], y, dilation=dilation,
                     groups=y.shape[-1])
-        y = _glob_ln(blk["ln2"], _prelu(y))
+        y = _glob_ln(blk["ln2"], _prelu(y, blk["prelu2"]))
         skip_sum = skip_sum + _conv1d(blk["skip_conv"], y)
         h = h + _conv1d(blk["res_conv"], y)
-    m = _conv1d(params["mask_out"], _prelu(skip_sum))  # [B, F, n_src*N]
+    m = _conv1d(params["mask_out"],
+                _prelu(skip_sum, params["mask_prelu"]))  # [B, F, n_src*N]
     masks = jax.nn.relu(m.reshape(b, n_frames, cfg.n_src, cfg.n_filters))
     sources = w[:, :, None, :] * masks                 # [B, F, S, N]
 

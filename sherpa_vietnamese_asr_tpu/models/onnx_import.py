@@ -709,3 +709,109 @@ def load_campp(path, cfg=None):
     map_initializers(init, campp_name_map(params, cfg), strict=True,
                      label="campp")
     return params, cfg
+
+
+def convtasnet_name_map(params, cfg):
+    """asteroid ConvTasNet state-dict names -> pytree setters (reference
+    convert_onnx/export_convtasnet_onnx.py exports
+    JorisCos/ConvTasNet_Libri2Mix_sepclean_16k; module tree is asteroid's
+    encoder/masker/decoder with GlobLN gamma/beta and scalar PReLUs).
+    The free-filterbank encoder/decoder have no bias (ours stays zero)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    def setter(node, key):
+        def set_fn(arr):
+            node[key] = jnp.asarray(arr)
+        return set_fn
+
+    def conv1d_t(a):  # [O, I, K] -> [K, I, O]
+        return np.ascontiguousarray(np.transpose(a, (2, 1, 0)))
+
+    def squeeze_cn(a):  # GlobLN gamma/beta (1, C, 1) -> [C]
+        return np.ascontiguousarray(a.reshape(-1))
+
+    def filters_dec(a):  # [N, 1, L] -> [N, L]
+        return np.ascontiguousarray(a[:, 0, :])
+
+    m = {
+        "encoder.filterbank._filters": (setter(params["encoder"], "weight"),
+                                        conv1d_t),
+        "masker.bottleneck.0.gamma": (setter(params["ln_in"], "scale"),
+                                      squeeze_cn),
+        "masker.bottleneck.0.beta": (setter(params["ln_in"], "bias"),
+                                     squeeze_cn),
+        "masker.bottleneck.1.weight": (
+            setter(params["bottleneck_in"], "weight"), conv1d_t),
+        "masker.bottleneck.1.bias": (
+            setter(params["bottleneck_in"], "bias"), None),
+        "masker.mask_net.0.weight": (setter(params, "mask_prelu"), None),
+        "masker.mask_net.1.weight": (setter(params["mask_out"], "weight"),
+                                     conv1d_t),
+        "masker.mask_net.1.bias": (setter(params["mask_out"], "bias"), None),
+        "decoder.filterbank._filters": (setter(params, "decoder"),
+                                        filters_dec),
+    }
+    for i, blk in enumerate(params["blocks"]):
+        pre = f"masker.TCN.{i}"
+        m[f"{pre}.shared_block.0.weight"] = (setter(blk["in_conv"], "weight"),
+                                             conv1d_t)
+        m[f"{pre}.shared_block.0.bias"] = (setter(blk["in_conv"], "bias"),
+                                           None)
+        m[f"{pre}.shared_block.1.weight"] = (setter(blk, "prelu1"), None)
+        m[f"{pre}.shared_block.2.gamma"] = (setter(blk["ln1"], "scale"),
+                                            squeeze_cn)
+        m[f"{pre}.shared_block.2.beta"] = (setter(blk["ln1"], "bias"),
+                                           squeeze_cn)
+        m[f"{pre}.shared_block.3.weight"] = (setter(blk["dw_conv"], "weight"),
+                                             conv1d_t)
+        m[f"{pre}.shared_block.3.bias"] = (setter(blk["dw_conv"], "bias"),
+                                           None)
+        m[f"{pre}.shared_block.4.weight"] = (setter(blk, "prelu2"), None)
+        m[f"{pre}.shared_block.5.gamma"] = (setter(blk["ln2"], "scale"),
+                                            squeeze_cn)
+        m[f"{pre}.shared_block.5.beta"] = (setter(blk["ln2"], "bias"),
+                                           squeeze_cn)
+        m[f"{pre}.res_conv.weight"] = (setter(blk["res_conv"], "weight"),
+                                       conv1d_t)
+        m[f"{pre}.res_conv.bias"] = (setter(blk["res_conv"], "bias"), None)
+        m[f"{pre}.skip_conv.weight"] = (setter(blk["skip_conv"], "weight"),
+                                        conv1d_t)
+        m[f"{pre}.skip_conv.bias"] = (setter(blk["skip_conv"], "bias"), None)
+    return m
+
+
+def load_convtasnet(path, cfg=None):
+    """Load convtasnet_16k.onnx into (params, cfg)."""
+    import jax
+
+    from sherpa_vietnamese_asr_tpu.models.convtasnet import (
+        ConvTasNetConfig, init_convtasnet_params,
+    )
+
+    g = read_onnx(path)
+    init = _strip_prefixes(g["initializers"])
+    if cfg is None:
+        enc = init.get("encoder.filterbank._filters")
+        if enc is None:
+            raise ImportReport(
+                "[convtasnet] encoder.filterbank._filters not found; first "
+                f"names: {sorted(init)[:8]}")
+        n_filters, _, kernel = enc.shape
+        n_tcn = 0
+        while f"masker.TCN.{n_tcn}.res_conv.weight" in init:
+            n_tcn += 1
+        base = ConvTasNetConfig()
+        n_blocks = base.n_blocks if n_tcn % base.n_blocks == 0 else n_tcn
+        cfg = ConvTasNetConfig(
+            n_filters=n_filters, kernel=kernel, stride=kernel // 2,
+            bottleneck=init["masker.bottleneck.1.weight"].shape[0],
+            hidden=init["masker.TCN.0.shared_block.0.weight"].shape[0],
+            skip=init["masker.TCN.0.skip_conv.weight"].shape[0],
+            conv_kernel=init["masker.TCN.0.shared_block.3.weight"].shape[2],
+            n_blocks=n_blocks, n_repeats=n_tcn // n_blocks,
+            n_src=init["masker.mask_net.1.weight"].shape[0] // n_filters)
+    params = init_convtasnet_params(jax.random.PRNGKey(0), cfg)
+    map_initializers(init, convtasnet_name_map(params, cfg), strict=True,
+                     label="convtasnet")
+    return params, cfg

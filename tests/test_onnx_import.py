@@ -378,3 +378,60 @@ def test_campp_roundtrip_via_name_map(tmp_path, rng):
     a = np.asarray(campp_embed(src, fb, TINY_CAMPP))
     b = np.asarray(campp_embed(params, fb, cfg))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_convtasnet_roundtrip_via_name_map(tmp_path, rng):
+    """Synthesize a Conv-TasNet ONNX with asteroid state-dict names and
+    check the imported separation matches the source params."""
+    import jax
+    import jax.numpy as jnp
+
+    from sherpa_vietnamese_asr_tpu.models.convtasnet import (
+        TINY_CONVTASNET, convtasnet_separate, init_convtasnet_params,
+    )
+    from sherpa_vietnamese_asr_tpu.models.onnx_import import (
+        convtasnet_name_map, load_convtasnet,
+    )
+
+    src = init_convtasnet_params(jax.random.PRNGKey(11), TINY_CONVTASNET)
+    # randomize prelus so the alpha mapping is exercised
+    src["mask_prelu"] = jnp.asarray([0.1], jnp.float32)
+    for blk in src["blocks"]:
+        blk["prelu1"] = jnp.asarray([0.3], jnp.float32)
+        blk["prelu2"] = jnp.asarray([0.15], jnp.float32)
+
+    inv = {}
+    for name, (set_fn, transform) in convtasnet_name_map(
+            src, TINY_CONVTASNET).items():
+        node = key = None
+        for cell in set_fn.__closure__:
+            v = cell.cell_contents
+            if isinstance(v, str):
+                key = v
+            elif isinstance(v, dict):
+                node = v
+        arr = np.asarray(node[key])
+        tname = transform.__name__ if transform else None
+        if tname is None:
+            inv[name] = arr
+        elif tname == "conv1d_t":
+            inv[name] = np.transpose(arr, (2, 1, 0))
+        elif tname == "squeeze_cn":
+            inv[name] = arr.reshape(1, -1, 1)
+        elif tname == "filters_dec":
+            inv[name] = arr[:, None, :]
+        else:
+            raise AssertionError(tname)
+    p = tmp_path / "convtasnet_16k.onnx"
+    p.write_bytes(make_onnx({k: np.ascontiguousarray(v)
+                             for k, v in inv.items()}))
+
+    params, cfg = load_convtasnet(str(p))
+    assert cfg.n_filters == TINY_CONVTASNET.n_filters
+    assert cfg.n_repeats * cfg.n_blocks == (TINY_CONVTASNET.n_repeats
+                                            * TINY_CONVTASNET.n_blocks)
+
+    mix = jnp.asarray(rng.standard_normal((1, 8000)).astype(np.float32) * 0.1)
+    a = np.asarray(convtasnet_separate(src, mix, TINY_CONVTASNET))
+    b = np.asarray(convtasnet_separate(params, mix, cfg))
+    np.testing.assert_allclose(a, b, atol=1e-5)
