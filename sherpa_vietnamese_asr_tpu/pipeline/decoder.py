@@ -91,9 +91,28 @@ class BatchedChunkDecoder:
                  use_pallas_fbank: bool | None = None,
                  model_b: AsrModel | None = None,
                  chunk_transform=None,
-                 transfer_dtype: str | None = None):
+                 transfer_dtype: str | None = None,
+                 mesh=None):
         self.model = model
         self.model_b = model_b
+        # Multi-chip SPMD: shard the chunk batch over the mesh's "data"
+        # axis (parallel/sharding.py). Auto-enabled on multi-device TPU
+        # backends; pass mesh explicitly elsewhere (tests use the 8-device
+        # CPU mesh). max_batch must be a multiple of the mesh size.
+        if mesh is None and jax.default_backend() not in ("cpu",) \
+                and len(jax.devices()) > 1:
+            from sherpa_vietnamese_asr_tpu.parallel.sharding import make_mesh
+            mesh = make_mesh()
+        self.mesh = mesh
+        if mesh is not None:
+            from sherpa_vietnamese_asr_tpu.parallel.sharding import (
+                shard_model,
+            )
+            assert max_batch % mesh.devices.size == 0, \
+                "max_batch must be a multiple of the mesh size"
+            self.model = model = shard_model(model, mesh)
+            if model_b is not None:
+                self.model_b = model_b = shard_model(model_b, mesh)
         self.chunk_transform = chunk_transform  # e.g. WPE per chunk
         self.max_batch = max_batch
         self.pad_len = int(chunk_pad_sec * SAMPLE_RATE)
@@ -165,10 +184,18 @@ class BatchedChunkDecoder:
             if quantized:
                 audio = np.clip(np.rint(audio * 32768.0), -32768, 32767
                                 ).astype(np.int16)
-            feats = fbank_batch_jit(jnp.asarray(audio),
+            audio_dev = jnp.asarray(audio)
+            n_frames = jnp.asarray((lens + 80) // 160)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+                audio_dev = jax.device_put(
+                    audio_dev, NamedSharding(self.mesh, P("data", None)))
+                n_frames = jax.device_put(
+                    n_frames, NamedSharding(self.mesh, P("data")))
+            feats = fbank_batch_jit(audio_dev,
                                     use_pallas_fbank=self.use_pallas_fbank,
                                     quantized=quantized)
-            n_frames = jnp.asarray((lens + 80) // 160)
             models = [self.model] + ([self.model_b] if rover else [])
             for model, sink in zip(models, (out_a, out_b)):
                 result, enc_lens = decode_feats_jit(
