@@ -214,9 +214,6 @@ def _causal_conv_module(p, x_with_tail, kernel, dt):
 
 def _streaming_layer(p, state, x, pos_emb_block, heads, kernel, cfg):
     """One layer step. x: [B, C, D]. Returns (y [B, C, D], new_state)."""
-    from sherpa_vietnamese_asr_tpu.models.zipformer import (
-        _nonlin_attention, _self_attention,
-    )
 
     dt = jnp.dtype(cfg.compute_dtype)
     vd = cfg.value_head_dim

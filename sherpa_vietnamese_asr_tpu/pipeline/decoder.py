@@ -23,7 +23,7 @@ from sherpa_vietnamese_asr_tpu.models.zipformer import zipformer_encoder
 from sherpa_vietnamese_asr_tpu.ops import fbank as fbank_ops
 from sherpa_vietnamese_asr_tpu.ops.beam_search import beam_search_batch
 from sherpa_vietnamese_asr_tpu.pipeline.words import beam_result_to_words
-from sherpa_vietnamese_asr_tpu.utils.fbank_ref import ASR_FBANK, num_frames
+from sherpa_vietnamese_asr_tpu.utils.fbank_ref import ASR_FBANK
 
 SAMPLE_RATE = 16000
 CHUNK_PAD_SEC = 33.0  # 30 s chunk + 3 s overlap

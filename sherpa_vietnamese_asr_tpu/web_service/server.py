@@ -16,7 +16,6 @@ import hashlib
 import json
 import os
 import re
-import secrets
 import struct
 import threading
 import uuid
