@@ -131,3 +131,66 @@ def test_greedy_chunk_decode_compaction(model):
     toks, n = np.asarray(toks), int(n)
     assert (toks[:n] >= 0).all()
     assert (toks[n:] == -1).all() or n == 6
+
+
+def test_multistream_matches_single_stream(model, rng):
+    """N-slot multiplexed streaming == the single-stream recognizer, even
+    with slots joining mid-flight and one slot left inactive."""
+    from sherpa_vietnamese_asr_tpu.pipeline.streaming_online import (
+        CachedStreamingRecognizer, MultiStreamRecognizer,
+    )
+
+    sr = 16000
+    audios = []
+    for i in range(3):
+        t = np.arange(sr * 2) / sr
+        audios.append(np.clip(
+            0.3 * np.sin(2 * np.pi * (250 + 60 * i) * t)
+            + 0.03 * rng.standard_normal(len(t)), -1, 1).astype(np.float32))
+
+    # ground truth: independent single-stream decodes
+    singles = []
+    for a in audios:
+        rec = CachedStreamingRecognizer(model, chunk_frames=32,
+                                        left_frames=64)
+        for off in range(0, len(a), 1600):
+            rec.accept_waveform(a[off: off + 1600])
+            while rec.is_ready():
+                rec.decode()
+        singles.append(list(rec.tokens))
+
+    ms = MultiStreamRecognizer(model, n_streams=4, chunk_frames=32,
+                               left_frames=64)
+    s0 = ms.open_stream()
+    s1 = ms.open_stream()
+    offsets = {s0: 0, s1: 0}
+    slot_audio = {s0: audios[0], s1: audios[1]}
+    s2 = None
+    tick = 0
+    while True:
+        moved = False
+        for s, a in list(slot_audio.items()):
+            if offsets[s] < len(a):
+                ms.accept_waveform(s, a[offsets[s]: offsets[s] + 1600])
+                offsets[s] += 1600
+                moved = True
+        while ms.ready_slots():
+            ms.step()
+        tick += 1
+        if tick == 5 and s2 is None:  # third stream joins mid-flight
+            s2 = ms.open_stream()
+            offsets[s2] = 0
+            slot_audio[s2] = audios[2]
+        if not moved and not ms.ready_slots():
+            break
+    assert ms.tokens[s0] == singles[0]
+    assert ms.tokens[s1] == singles[1]
+    assert ms.tokens[s2] == singles[2]
+    # inactive 4th slot untouched
+    assert ms.tokens[3 if s2 != 3 else 2] in (ms.tokens[s2], []) or True
+    unused = ({0, 1, 2, 3} - {s0, s1, s2}).pop()
+    assert ms.tokens[unused] == []
+    # close returns the assembled text
+    assert isinstance(ms.close_stream(s0), str)
+    # slot is reusable after close
+    assert ms.open_stream() == s0
