@@ -66,6 +66,9 @@ class AppState:
                                   pipeline_factory=pipeline_factory)
         self._ws_clients = []  # (session_id, socket)
         self._ws_lock = threading.Lock()
+        self._model_provider = model_provider
+        self._streamer = None          # lazy MultiStreamRecognizer
+        self._streamer_lock = threading.Lock()
         self.queue.subscribe(self._push_event)
         # default admin account (reference seeds one on first run)
         if not self.db.get_user_by_username("admin"):
@@ -88,6 +91,23 @@ class AppState:
 
     def shutdown(self):
         self._gc_stop.set()
+
+    # -- live streaming (shared batched recognizer) -------------------------
+    def get_streamer(self, n_streams=8):
+        with self._streamer_lock:
+            if self._streamer is None:
+                from sherpa_vietnamese_asr_tpu.pipeline.streaming_online \
+                    import MultiStreamRecognizer
+                model = self._model_provider(None) if self._model_provider \
+                    else None
+                if model is None:
+                    from sherpa_vietnamese_asr_tpu.models.registry import (
+                        random_asr_model,
+                    )
+                    model = random_asr_model(vocab_size=2000, beam_size=4)
+                self._streamer = MultiStreamRecognizer(model,
+                                                       n_streams=n_streams)
+            return self._streamer
 
     # -- websocket push ---------------------------------------------------------
     def add_ws_client(self, session_id, sock):
@@ -718,6 +738,107 @@ class Handler(BaseHTTPRequestHandler):
             pass
 
 
+    def _ws_handshake(self):
+        key = self.headers.get("Sec-WebSocket-Key")
+        if not key or self.headers.get("Upgrade", "").lower() != "websocket":
+            raise ApiError(400, "WebSocket upgrade required")
+        accept = base64.b64encode(hashlib.sha1(
+            (key + _WS_MAGIC).encode()).digest()).decode()
+        self.send_response(101, "Switching Protocols")
+        self.send_header("Upgrade", "websocket")
+        self.send_header("Connection", "Upgrade")
+        self.send_header("Sec-WebSocket-Accept", accept)
+        self.end_headers()
+        self.close_connection = True
+
+    @staticmethod
+    def _ws_read_frame(sock):
+        """Read one frame; returns (opcode, payload) or (None, None) on
+        EOF. Client->server payloads are unmasked per RFC 6455."""
+        def recv_exact(n):
+            buf = b""
+            while len(buf) < n:
+                part = sock.recv(n - len(buf))
+                if not part:
+                    return None
+                buf += part
+            return buf
+
+        head = recv_exact(2)
+        if head is None:
+            return None, None
+        opcode = head[0] & 0x0F
+        ln = head[1] & 0x7F
+        masked = head[1] & 0x80
+        if ln == 126:
+            ln = struct.unpack(">H", recv_exact(2))[0]
+        elif ln == 127:
+            ln = struct.unpack(">Q", recv_exact(8))[0]
+        mask = recv_exact(4) if masked else None
+        payload = recv_exact(ln) if ln else b""
+        if payload is None:
+            return None, None
+        if mask:
+            payload = bytes(b ^ mask[i % 4]
+                            for i, b in enumerate(payload))
+        return opcode, payload
+
+    def ep_ws_stream(self):
+        """Live transcription: client streams binary PCM16 mono 16 kHz
+        frames; the server replies with JSON partials after each decoded
+        chunk and a final on close. One slot of the shared batched
+        recognizer per connection (reference's live mode is the desktop
+        tab, streaming_asr_online.py; this is the server-side analogue)."""
+        import numpy as np
+
+        streamer = self.state.get_streamer()
+        self._ws_handshake()
+        sock = self.connection
+        sock.settimeout(300)
+        with self.state._streamer_lock:
+            slot = streamer.open_stream()
+        if slot is None:
+            sock.sendall(_ws_frame(json.dumps(
+                {"type": "error", "message": "all stream slots busy"}
+            ).encode()))
+            return
+        sock.sendall(_ws_frame(json.dumps(
+            {"type": "ready", "slot": slot}).encode()))
+        try:
+            while True:
+                opcode, payload = self._ws_read_frame(sock)
+                if opcode is None or opcode == 0x8:   # EOF / close
+                    break
+                if opcode == 0x9:                      # ping -> pong
+                    sock.sendall(_ws_frame(payload, opcode=0xA))
+                    continue
+                if opcode == 0x2 and payload:          # binary PCM16
+                    audio = np.frombuffer(payload, np.int16
+                                          ).astype(np.float32) / 32768.0
+                    emitted = False
+                    with self.state._streamer_lock:
+                        streamer.accept_waveform(slot, audio)
+                        while slot in streamer.ready_slots():
+                            out = streamer.step()
+                            emitted = emitted or bool(out.get(slot))
+                        text = streamer.get_result(slot)
+                    if emitted:
+                        sock.sendall(_ws_frame(json.dumps(
+                            {"type": "partial", "text": text},
+                            ensure_ascii=False).encode()))
+        except OSError:
+            pass
+        finally:
+            with self.state._streamer_lock:
+                final = streamer.close_stream(slot)
+            try:
+                sock.sendall(_ws_frame(json.dumps(
+                    {"type": "final", "text": final},
+                    ensure_ascii=False).encode()))
+            except OSError:
+                pass
+
+
 ROUTES = [
     (r"/api/version", "GET", Handler.ep_version),
     (r"/api/config/models", "GET", Handler.ep_models),
@@ -757,6 +878,7 @@ ROUTES = [
     (r"/api/admin/rate-limits", "GET", Handler.ep_rate_limits),
     (r"/api/admin/rate-limits/clear", "POST", Handler.ep_rate_limits_clear),
     (r"/ws", "GET", Handler.ep_websocket),
+    (r"/ws/stream", "GET", Handler.ep_ws_stream),
 ]
 
 

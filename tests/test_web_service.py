@@ -204,3 +204,103 @@ def test_slider_confidence_mapping():
     assert not bypass
     assert slider_to_confidences(1, 5)[2] is True
     assert abs(slider_to_confidences(10, 10)[0] - (0.5 - 1.3)) < 1e-9
+
+
+def test_ws_stream_live_transcription(service):
+    """Raw-socket WebSocket client streams PCM16 to /ws/stream and gets
+    ready -> partial(s) -> final JSON frames."""
+    import base64
+    import json
+    import socket
+    import struct
+
+    import numpy as np
+
+    from sherpa_vietnamese_asr_tpu.models.registry import (
+        TINY_ZIPFORMER, random_asr_model,
+    )
+    from sherpa_vietnamese_asr_tpu.pipeline.streaming_online import (
+        MultiStreamRecognizer,
+    )
+
+    base, state = service
+    # tiny streamer so the CPU test compiles fast
+    model = random_asr_model(vocab_size=60, zip_cfg=TINY_ZIPFORMER,
+                             beam_size=2)
+    state._streamer = MultiStreamRecognizer(model, n_streams=2,
+                                            chunk_frames=32, left_frames=64)
+
+    host, port = base.replace("http://", "").split(":")
+    sock = socket.create_connection((host, int(port)), timeout=60)
+    key = base64.b64encode(b"0123456789abcdef").decode()
+    sock.sendall((f"GET /ws/stream HTTP/1.1\r\nHost: {host}\r\n"
+                  "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                  f"Sec-WebSocket-Key: {key}\r\n"
+                  "Sec-WebSocket-Version: 13\r\n\r\n").encode())
+    # read the 101 response headers
+    buf = b""
+    while b"\r\n\r\n" not in buf:
+        buf += sock.recv(1024)
+    assert b"101" in buf.split(b"\r\n", 1)[0]
+
+    def client_frame(payload, opcode):
+        mask = b"\x01\x02\x03\x04"
+        head = bytes([0x80 | opcode])
+        n = len(payload)
+        if n < 126:
+            head += bytes([0x80 | n])
+        else:
+            head += bytes([0x80 | 126]) + struct.pack(">H", n)
+        masked = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+        return head + mask + masked
+
+    def read_server_frame(sock):
+        head = sock.recv(2)
+        opcode = head[0] & 0x0F
+        ln = head[1] & 0x7F
+        if ln == 126:
+            ln = struct.unpack(">H", sock.recv(2))[0]
+        data = b""
+        while len(data) < ln:
+            data += sock.recv(ln - len(data))
+        return opcode, data
+
+    op, data = read_server_frame(sock)
+    msg = json.loads(data)
+    assert msg["type"] == "ready"
+
+    sr = 16000
+    t = np.arange(sr * 2) / sr
+    audio = (0.3 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)
+    pcm = np.clip(np.rint(audio * 32768), -32768, 32767).astype(np.int16)
+    partials = []
+    for off in range(0, len(pcm), 8000):
+        sock.sendall(client_frame(pcm[off: off + 8000].tobytes(), 0x2))
+        sock.settimeout(0.5)
+        try:
+            while True:
+                op, data = read_server_frame(sock)
+                m = json.loads(data)
+                if m["type"] == "partial":
+                    partials.append(m["text"])
+        except (socket.timeout, TimeoutError):
+            pass
+    sock.settimeout(120)
+    sock.sendall(client_frame(b"", 0x8))  # close
+    finals = []
+    try:
+        while True:
+            op, data = read_server_frame(sock)
+            m = json.loads(data)
+            if m["type"] == "partial":
+                # first-compile latency can delay partials past the short
+                # read windows above; they still arrive before the final
+                partials.append(m["text"])
+            if m["type"] == "final":
+                finals.append(m["text"])
+                break
+    except (socket.timeout, TimeoutError, IndexError):
+        pass
+    sock.close()
+    assert partials, "expected at least one partial"
+    assert finals and isinstance(finals[0], str)
