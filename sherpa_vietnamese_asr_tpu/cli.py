@@ -138,6 +138,31 @@ def cmd_serve(args):
     server, _state = make_server(host=args.host, port=args.port,
                                  data_dir=args.data_dir,
                                  model_provider=model_provider)
+    if args.warmup:
+        # Compile the hot programs before accepting work: one batch decode
+        # (fbank+encoder+beam) and one streaming step. First-request
+        # latency drops from minutes to milliseconds.
+        import time as _t
+
+        import numpy as np
+
+        from sherpa_vietnamese_asr_tpu.pipeline.decoder import (
+            BatchedChunkDecoder,
+        )
+
+        t0 = _t.time()
+        print("[serve] warmup: compiling decode + streaming programs...")
+        model = model_provider(None)
+        dec = BatchedChunkDecoder(model, max_batch=8)
+        dummy = np.zeros(16000 * 34, np.float32)
+        dec.decode_spans(dummy, [(0, 16000 * 30)])
+        streamer = _state.get_streamer()
+        slot = streamer.open_stream()
+        streamer.accept_waveform(slot, np.zeros(16000 * 2, np.float32))
+        while streamer.ready_slots():
+            streamer.step()
+        streamer.close_stream(slot)
+        print(f"[serve] warmup done in {_t.time() - t0:.0f}s")
     print(f"[serve] listening on http://{args.host}:"
           f"{server.server_address[1]}")
     try:
@@ -266,6 +291,9 @@ def main(argv=None):
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=8000)
     s.add_argument("--data-dir", default="web_data")
+    s.add_argument("--warmup", action="store_true",
+                   help="compile decode + streaming programs before "
+                        "accepting requests")
     s.set_defaults(fn=cmd_serve)
 
     b = sub.add_parser("bench", help="run the benchmark")
