@@ -43,6 +43,25 @@ def cmd_transcribe(args):
     )
 
     model = _load_model(args)
+    if getattr(args, "hotwords_file", None):
+        import dataclasses
+        import os
+
+        from sherpa_vietnamese_asr_tpu.utils.config import (
+            build_hotword_tables_for_model,
+        )
+        model_dir = args.model if os.path.isdir(args.model) else "."
+        tables, kept = build_hotword_tables_for_model(
+            model_dir, model.rnnt_cfg.vocab_size,
+            hotwords_file=args.hotwords_file,
+            default_score=args.hotwords_score)
+        if tables is None:
+            print("[cli] hotwords requested but no usable hotword file / "
+                  "bpe.model found; continuing without", file=sys.stderr)
+        else:
+            model = dataclasses.replace(model, hotword_tables=tables)
+            print(f"[cli] hotword boosting active for {len(kept)} phrases",
+                  file=sys.stderr)
     if args.rover:
         from sherpa_vietnamese_asr_tpu.models.registry import (
             MODEL_68M, random_asr_model,
@@ -275,6 +294,10 @@ def main(argv=None):
     t.add_argument("--quality", action="store_true",
                    help="DNSMOS audio-quality analysis")
     t.add_argument("--num-speakers", type=int, default=0)
+    t.add_argument("--hotwords-file", default=None,
+                   help="hotword phrases file (one per line, optional "
+                        ":score suffix); needs bpe.model in the model dir")
+    t.add_argument("--hotwords-score", type=float, default=1.5)
     t.add_argument("--max-batch", type=int, default=8)
     t.add_argument("--rms-normalize", action="store_true")
     t.add_argument("--wpe", action="store_true")
