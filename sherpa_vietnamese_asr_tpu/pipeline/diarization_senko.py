@@ -272,8 +272,11 @@ class SenkoCamppDiarizer:
             e0 = min(int(re_ * SAMPLE_RATE), len(audio))
             if e0 - s0 < 400:
                 continue
-            region_fbank = np.asarray(fbank_ops.compute_fbank(
-                jnp.asarray(audio[s0:e0]), CAMPP_FBANK, use_pallas=False))
+            # Fixed-block streamed fbank: one compiled program regardless of
+            # region length (per-length eager compiles cost tens of seconds
+            # each on this host).
+            region_fbank = fbank_ops.compute_fbank_streamed(
+                audio[s0:e0], CAMPP_FBANK)
             nf = region_fbank.shape[0]
             if nf < 10:
                 continue
