@@ -815,3 +815,87 @@ def load_convtasnet(path, cfg=None):
     map_initializers(init, convtasnet_name_map(params, cfg), strict=True,
                      label="convtasnet")
     return params, cfg
+
+
+def resnet_speaker_name_map(params, cfg):
+    """wespeaker ResNet34 state-dict names (under the 'resnet.' prefix the
+    pyannote Community-1 embedding export uses — reference
+    convert_onnx/split_pyannote_embedding.py extracts resnet.seg_1.* from
+    the same graph) -> pytree setters.
+
+    Torch layout is [B, 1, F, T] (kh=freq, kw=time); ours is [B, T, F, 1],
+    so conv kernels transpose spatial dims: [O, I, kh, kw] -> [kw, kh, I, O].
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    def setter(node, key):
+        def set_fn(arr):
+            node[key] = jnp.asarray(arr)
+        return set_fn
+
+    def conv_t(a):  # [O, I, kF, kT] -> [kT, kF, I, O]
+        return np.ascontiguousarray(np.transpose(a, (3, 2, 1, 0)))
+
+    m = {}
+
+    def bn(prefix, node):
+        m[f"{prefix}.weight"] = (setter(node, "scale"), None)
+        m[f"{prefix}.bias"] = (setter(node, "bias"), None)
+        m[f"{prefix}.running_mean"] = (setter(node, "mean"), None)
+        m[f"{prefix}.running_var"] = (setter(node, "var"), None)
+
+    m["resnet.conv1.weight"] = (setter(params, "conv1"), conv_t)
+    bn("resnet.bn1", params["bn1"])
+    for stage, blocks in enumerate(params["stages"]):
+        for j, blk in enumerate(blocks):
+            pre = f"resnet.layer{stage + 1}.{j}"
+            m[f"{pre}.conv1.weight"] = (setter(blk, "conv1"), conv_t)
+            bn(f"{pre}.bn1", blk["bn1"])
+            m[f"{pre}.conv2.weight"] = (setter(blk, "conv2"), conv_t)
+            bn(f"{pre}.bn2", blk["bn2"])
+            if "down_conv" in blk:
+                m[f"{pre}.shortcut.0.weight"] = (setter(blk, "down_conv"),
+                                                 conv_t)
+                bn(f"{pre}.shortcut.1", blk["down_bn"])
+    return m
+
+
+def load_resnet_speaker(encoder_onnx_path, weight_npy_path, bias_npy_path,
+                        cfg=None):
+    """Load embedding_encoder.onnx + resnet_seg_1_{weight,bias}.npy
+    (reference pure_ort.py:450-485 artifact set) into (params, cfg)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sherpa_vietnamese_asr_tpu.models.resnet_speaker import (
+        ResNetSpeakerConfig, init_resnet_params,
+    )
+
+    g = read_onnx(encoder_onnx_path)
+    init = _strip_prefixes(g["initializers"])
+    if cfg is None:
+        c1 = init.get("resnet.conv1.weight")
+        if c1 is None:
+            raise ImportReport(
+                "[resnet] resnet.conv1.weight not found; first names: "
+                f"{sorted(init)[:8]}")
+        blocks = []
+        stage = 1
+        while f"resnet.layer{stage}.0.conv1.weight" in init:
+            j = 0
+            while f"resnet.layer{stage}.{j}.conv1.weight" in init:
+                j += 1
+            blocks.append(j)
+            stage += 1
+        w = np.load(weight_npy_path)
+        cfg = ResNetSpeakerConfig(base_channels=c1.shape[0],
+                                  blocks=tuple(blocks),
+                                  embed_dim=w.shape[0])
+    params = init_resnet_params(jax.random.PRNGKey(0), cfg)
+    map_initializers(init, resnet_speaker_name_map(params, cfg), strict=True,
+                     label="resnet")
+    params["proj"] = {"weight": jnp.asarray(np.load(weight_npy_path)),
+                      "bias": jnp.asarray(np.load(bias_npy_path))}
+    return params, cfg

@@ -431,6 +431,16 @@ class PureDiarizer:
                     load_pyannet,
                 )
                 seg_params, seg_cfg = load_pyannet(seg_onnx)
+        if model_dir and emb_params is None:
+            enc_onnx = os.path.join(model_dir, "embedding_encoder.onnx")
+            w_npy = os.path.join(model_dir, "resnet_seg_1_weight.npy")
+            b_npy = os.path.join(model_dir, "resnet_seg_1_bias.npy")
+            if all(os.path.exists(p) for p in (enc_onnx, w_npy, b_npy)):
+                from sherpa_vietnamese_asr_tpu.models.onnx_import import (
+                    load_resnet_speaker,
+                )
+                emb_params, emb_cfg = load_resnet_speaker(enc_onnx, w_npy,
+                                                          b_npy)
         if model_dir and plda_data is None:
             plda_npz = os.path.join(model_dir, "plda_prepared.npz")
             if os.path.exists(plda_npz):

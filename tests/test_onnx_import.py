@@ -435,3 +435,74 @@ def test_convtasnet_roundtrip_via_name_map(tmp_path, rng):
     a = np.asarray(convtasnet_separate(src, mix, TINY_CONVTASNET))
     b = np.asarray(convtasnet_separate(params, mix, cfg))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_resnet_speaker_roundtrip_via_name_map(tmp_path, rng):
+    """Synthesize embedding_encoder.onnx (wespeaker names under 'resnet.')
+    + seg_1 .npy files, load, and check frame features + projection match."""
+    import jax
+    import jax.numpy as jnp
+
+    from sherpa_vietnamese_asr_tpu.models.onnx_import import (
+        load_resnet_speaker, resnet_speaker_name_map,
+    )
+    from sherpa_vietnamese_asr_tpu.models.resnet_speaker import (
+        TINY_RESNET, init_resnet_params, project_embedding,
+        resnet_frame_features,
+    )
+
+    src = init_resnet_params(jax.random.PRNGKey(3), TINY_RESNET)
+    # randomize BN stats so the map is exercised
+    def walk(node):
+        if isinstance(node, dict):
+            if "mean" in node and "var" in node:
+                node["mean"] = jnp.asarray(
+                    0.1 * rng.standard_normal(node["mean"].shape),
+                    jnp.float32)
+                node["var"] = jnp.asarray(
+                    1.0 + 0.1 * rng.random(node["var"].shape), jnp.float32)
+            for v in node.values():
+                walk(v)
+        elif isinstance(node, list):
+            for v in node:
+                walk(v)
+    walk(src)
+
+    inv = {}
+    for name, (set_fn, transform) in resnet_speaker_name_map(
+            src, TINY_RESNET).items():
+        node = key = None
+        for cell in set_fn.__closure__:
+            v = cell.cell_contents
+            if isinstance(v, str):
+                key = v
+            elif isinstance(v, dict):
+                node = v
+        arr = np.asarray(node[key])
+        if transform is None:
+            inv[name] = arr
+        else:  # conv_t: [kT, kF, I, O] back to [O, I, kF, kT]
+            inv[name] = np.transpose(arr, (3, 2, 1, 0))
+    p = tmp_path / "embedding_encoder.onnx"
+    p.write_bytes(make_onnx({k: np.ascontiguousarray(v)
+                             for k, v in inv.items()}))
+    np.save(tmp_path / "resnet_seg_1_weight.npy",
+            np.asarray(src["proj"]["weight"]))
+    np.save(tmp_path / "resnet_seg_1_bias.npy",
+            np.asarray(src["proj"]["bias"]))
+
+    params, cfg = load_resnet_speaker(
+        str(p), str(tmp_path / "resnet_seg_1_weight.npy"),
+        str(tmp_path / "resnet_seg_1_bias.npy"))
+    assert cfg.blocks == TINY_RESNET.blocks
+    assert cfg.embed_dim == TINY_RESNET.embed_dim
+
+    fb = jnp.asarray(rng.standard_normal((2, 100, 80)).astype(np.float32))
+    a = np.asarray(resnet_frame_features(src, fb, TINY_RESNET))
+    b = np.asarray(resnet_frame_features(params, fb, cfg))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    stats = jnp.asarray(rng.standard_normal(
+        (2, 2 * TINY_RESNET.frame_feature_dim)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(project_embedding(src, stats)),
+        np.asarray(project_embedding(params, stats)), atol=1e-5)
