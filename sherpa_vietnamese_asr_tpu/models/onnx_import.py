@@ -40,7 +40,18 @@ _NODE_INPUT = 1
 _NODE_OUTPUT = 2
 _NODE_NAME = 3
 _NODE_OP_TYPE = 4
+_NODE_ATTRIBUTE = 5
 _VALUEINFO_NAME = 1
+# AttributeProto fields (onnx/onnx.proto)
+_ATTR_NAME = 1
+_ATTR_F = 2
+_ATTR_I = 3
+_ATTR_S = 4
+_ATTR_T = 5
+_ATTR_FLOATS = 7
+_ATTR_INTS = 8
+_ATTR_STRINGS = 9
+_ATTR_TYPE = 20
 
 _DTYPE = {
     1: np.dtype("<f4"), 2: np.dtype("u1"), 3: np.dtype("i1"),
@@ -102,12 +113,56 @@ def _decode_tensor(buf: bytes):
     return name, arr
 
 
+def _i64(v: int) -> int:
+    """Varint-decoded int64 two's-complement sign fix."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _decode_attribute(buf: bytes):
+    """AttributeProto -> (name, python value).
+
+    Type resolution follows the wire content rather than the `type` enum so
+    synthesized files may omit it: tensor > s > floats > ints > f > i.
+    """
+    f = pw.parse_fields(buf)
+    name = f.get(_ATTR_NAME, [b""])[0].decode()
+    if _ATTR_T in f:
+        _, arr = _decode_tensor(f[_ATTR_T][0])
+        return name, arr
+    if _ATTR_STRINGS in f:
+        return name, [s.decode("utf-8", "replace") for s in f[_ATTR_STRINGS]]
+    if _ATTR_FLOATS in f:
+        vals = []
+        for v in f[_ATTR_FLOATS]:
+            if isinstance(v, bytes):  # packed fixed32
+                vals.extend(np.frombuffer(v, "<f4").tolist())
+            else:
+                vals.append(struct.unpack("<f", struct.pack("<I", v))[0])
+        return name, vals
+    if _ATTR_INTS in f:
+        vals = []
+        for v in f[_ATTR_INTS]:
+            if isinstance(v, bytes):  # packed varints
+                vals.extend(_i64(x) for x in pw.parse_packed_varints(v))
+            else:
+                vals.append(_i64(v))
+        return name, vals
+    if _ATTR_S in f:
+        return name, f[_ATTR_S][0].decode("utf-8", "replace")
+    if _ATTR_F in f:
+        return name, struct.unpack("<f", struct.pack("<I", f[_ATTR_F][0]))[0]
+    if _ATTR_I in f:
+        return name, _i64(f[_ATTR_I][0])
+    return name, None
+
+
 def read_onnx(path_or_bytes):
     """Parse an ONNX file.
 
     Returns dict with:
       initializers: {name: np.ndarray}
       nodes: [(op_type, [inputs], [outputs], name)]
+      attrs: [{attr_name: value}] aligned with nodes
       inputs / outputs: [names]
     """
     if isinstance(path_or_bytes, (bytes, bytearray)):
@@ -125,7 +180,7 @@ def read_onnx(path_or_bytes):
         name, arr = _decode_tensor(t)
         initializers[name] = arr
 
-    nodes = []
+    nodes, attrs = [], []
     for nb in graph.get(_GRAPH_NODE, []):
         nf = pw.parse_fields(nb)
         nodes.append((
@@ -134,6 +189,8 @@ def read_onnx(path_or_bytes):
             [x.decode() for x in nf.get(_NODE_OUTPUT, [])],
             nf.get(_NODE_NAME, [b""])[0].decode(),
         ))
+        attrs.append(dict(_decode_attribute(ab)
+                          for ab in nf.get(_NODE_ATTRIBUTE, [])))
 
     def names(field):
         out = []
@@ -145,6 +202,7 @@ def read_onnx(path_or_bytes):
     return {
         "initializers": initializers,
         "nodes": nodes,
+        "attrs": attrs,
         "inputs": names(_GRAPH_INPUT),
         "outputs": names(_GRAPH_OUTPUT),
     }
