@@ -112,7 +112,13 @@ def _sinc_filters(params, cfg: PyanNetConfig):
     window = jnp.hamming(cfg.sinc_kernel)[:n][None, :]
     f_low = 2 * math.pi * low
     f_high = 2 * math.pi * high
-    left = ((jnp.sin(f_high * t) - jnp.sin(f_low * t)) / (t / 2)) * window
+    # Upstream (mravanelli SincNet / asteroid ParamSincFB, which pyannote's
+    # Community-1 checkpoint was trained with) divides the side taps by
+    # n_/2 where n_ = 2π·t — NOT by t/2; the center tap is 2·band. Using
+    # t/2 here skews the center/side ratio by 2π (caught by the torch
+    # oracle in tests/test_model_oracles.py).
+    left = ((jnp.sin(f_high * t) - jnp.sin(f_low * t))
+            / (2 * math.pi * t / 2)) * window
     center = 2 * band[:, None]
     filters = jnp.concatenate([left, center, left[:, ::-1]], axis=1)
     filters = filters / (2 * band[:, None] + 1e-8)

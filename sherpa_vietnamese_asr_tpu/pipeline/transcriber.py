@@ -387,11 +387,24 @@ class TranscriberPipeline:
                 def diar_progress(pct, total=100):
                     self._emit(f"PHASE:Diarization|Detecting speakers|{pct}")
 
-                diar = self.diarizer.process(audio,
-                                             progress_callback=diar_progress)
-                raw_speaker_segments = dp.post_process_diarization_segments(
-                    [dp.Segment(s["start"], s["end"], s["speaker"])
-                     for s in diar], asr_words=all_words)
+                # self.diarizer is either the SpeakerDiarizer facade (returns
+                # post-processed [Segment]) or a raw backend returning
+                # [{"start","end","speaker"}] that still needs
+                # post-processing (gap merge, NaturalTurn, fragment resolve).
+                from sherpa_vietnamese_asr_tpu.pipeline.diarization import (
+                    SpeakerDiarizer,
+                )
+                if isinstance(self.diarizer, SpeakerDiarizer):
+                    raw_speaker_segments = self.diarizer.process(
+                        audio, progress_callback=diar_progress,
+                        asr_words=all_words)
+                else:
+                    raw = self.diarizer.process(
+                        audio, progress_callback=diar_progress)
+                    raw_speaker_segments = \
+                        dp.post_process_diarization_segments(
+                            [dp.Segment(s["start"], s["end"], s["speaker"])
+                             for s in raw], asr_words=all_words)
                 speaker_segments_raw = [{
                     "speaker": dp.speaker_name(s.speaker),
                     "speaker_id": s.speaker,

@@ -149,10 +149,12 @@ def test_transcriber_with_diarizer(tmp_path, rng):
                                       "max_batch": 2},
                               vad_prob_fn=vad, diarizer=diar).run()
     assert res is not None
-    # diarization either produced segments or failed gracefully
-    if res["has_speaker_diarization"]:
-        assert res["speaker_segments_raw"]
-        assert all("speaker_id" in s for s in res["segments"])
+    # diarization must SUCCEED on speech audio: the round-1 form of this
+    # assertion ("or failed gracefully") masked a Segment-vs-dict contract
+    # break between the transcriber and the diarizer facade.
+    assert res["has_speaker_diarization"]
+    assert res["speaker_segments_raw"]
+    assert all("speaker_id" in s for s in res["segments"])
     assert res["timing"]["diarization"] >= 0
 
 
