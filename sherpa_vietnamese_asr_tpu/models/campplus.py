@@ -238,7 +238,13 @@ def campp_embed(params, fbank, cfg: CamppConfig = CamppConfig(), mask=None):
     h = jax.nn.relu(_bn_apply(params["final_bn"], h))
     mean = mean_t(h)
     var = mean_t(h * h) - mean ** 2
-    stats = jnp.concatenate([mean, jnp.sqrt(jnp.maximum(var, 1e-8))],
+    # 3D-Speaker statistics_pooling uses torch.std(unbiased=True): scale the
+    # biased masked variance by n/(n-1).
+    n_valid = jnp.maximum(msk.sum(axis=1), 2.0)
+    var = var * n_valid / (n_valid - 1.0)
+    # clamp only the negative fp-cancellation tail: torch.std gives exactly 0
+    # for constant (dead-relu) channels, so a 1e-8 floor would bias them.
+    stats = jnp.concatenate([mean, jnp.sqrt(jnp.maximum(var, 0.0))],
                             axis=-1)
     emb = stats @ params["dense"]["lin"]["weight"]
     return _bn_apply(params["dense"]["bn"], emb)

@@ -658,8 +658,12 @@ def campp_name_map(params, cfg):
     def lin_t(a):
         return np.ascontiguousarray(a.T)
 
-    def conv2d_t(a):  # [O, I, kh, kw] -> [kh, kw, I, O]
-        return np.ascontiguousarray(np.transpose(a, (2, 3, 1, 0)))
+    def conv2d_t(a):
+        # torch FCM layout is [B, C, F, T] with kernels [O, I, kF, kT]; our
+        # layout is [B, T, F, C] (H=time, W=freq), so the spatial kernel axes
+        # swap: -> [kT, kF, I, O]. (Using (2,3,1,0) here put the frequency
+        # kernel on the time axis — caught by the torch oracle.)
+        return np.ascontiguousarray(np.transpose(a, (3, 2, 1, 0)))
 
     def conv1d_t(a):  # [O, I, K] -> [K, I, O]
         return np.ascontiguousarray(np.transpose(a, (2, 1, 0)))

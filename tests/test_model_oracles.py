@@ -126,3 +126,36 @@ def test_pyannet_forward_matches_torch(rng, tmp_path):
         want = ref(torch.tensor(wav)).numpy()
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_campp_forward_matches_torch(rng, tmp_path):
+    """JAX CAM++ == 3D-Speaker-structured torch module (FCM front-end,
+    D-TDNN CAM blocks, unbiased-std stats pooling), weights via load_campp.
+    Architecture per the reference's own exporter
+    (convert_onnx/export_campplus_onnx.py)."""
+    from tests.torch_refs import (
+        TorchCampp, randomize_bn_stats, state_dict_to_onnx,
+    )
+
+    from sherpa_vietnamese_asr_tpu.models.campplus import (
+        TINY_CAMPP, campp_embed,
+    )
+    from sherpa_vietnamese_asr_tpu.models.onnx_import import load_campp
+
+    torch.manual_seed(3)
+    cfg = TINY_CAMPP
+    ref = TorchCampp(cfg).eval()
+    randomize_bn_stats(ref, seed=3)
+    path = tmp_path / "campplus_cn_en_common_200k.onnx"
+    state_dict_to_onnx(ref, path)
+
+    params, got_cfg = load_campp(str(path), cfg=None)
+    assert got_cfg.embed_dim == cfg.embed_dim
+    assert got_cfg.block_layers == cfg.block_layers
+
+    # T=250 exercises the ceil-mode partial segment in CAM seg-pooling
+    feats = rng.standard_normal((2, 250, cfg.num_mels)).astype(np.float32)
+    got = np.asarray(campp_embed(params, feats, cfg))
+    with torch.no_grad():
+        want = ref(torch.tensor(feats)).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

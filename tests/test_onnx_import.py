@@ -361,7 +361,8 @@ def test_campp_roundtrip_via_name_map(tmp_path, rng):
             if tname == "lin_t" or tname == "conv1x1_lin_t":
                 inv[name] = arr.T if tname == "lin_t" else arr.T[:, :, None]
             elif tname == "conv2d_t":
-                inv[name] = np.transpose(arr, (3, 2, 0, 1))
+                # [kT, kF, I, O] -> [O, I, kF, kT] (self-inverse)
+                inv[name] = np.transpose(arr, (3, 2, 1, 0))
             elif tname == "conv1d_t":
                 inv[name] = np.transpose(arr, (2, 1, 0))
             else:

@@ -225,6 +225,185 @@ class TorchPyanNet(nn.Module):
         return F.log_softmax(self.classifier(x), dim=-1)
 
 
+# ---------------------------------------------------------------------------
+# CAM++ (3D-Speaker speech_campplus_sv_zh_en_16k-common_advanced; the
+# reference's own exporter convert_onnx/export_campplus_onnx.py embeds the
+# upstream module tree this mirrors)
+# ---------------------------------------------------------------------------
+
+class _BnRelu(nn.Module):
+    """get_nonlinear('batchnorm-relu') / ('batchnorm_'): Sequential with a
+    child named 'batchnorm' (and ReLU)."""
+
+    def __init__(self, channels, affine=True, relu=True, two_d=False):
+        super().__init__()
+        bn = (nn.BatchNorm2d if two_d else nn.BatchNorm1d)(
+            channels, affine=affine)
+        self.batchnorm = bn
+        self._relu = relu
+
+    def forward(self, x):
+        x = self.batchnorm(x)
+        return F.relu(x) if self._relu else x
+
+
+class _CamLayer(nn.Module):
+    def __init__(self, bn_ch, out_ch, kernel, dilation, seg_len=100):
+        super().__init__()
+        pad = (kernel - 1) // 2 * dilation
+        self.linear_local = nn.Conv1d(bn_ch, out_ch, kernel, padding=pad,
+                                      dilation=dilation, bias=False)
+        self.linear1 = nn.Conv1d(bn_ch, bn_ch // 2, 1)
+        self.linear2 = nn.Conv1d(bn_ch // 2, out_ch, 1)
+        self.seg_len = seg_len
+
+    def forward(self, x):  # [B, C, T]
+        y = self.linear_local(x)
+        seg = F.avg_pool1d(x, self.seg_len, self.seg_len, ceil_mode=True)
+        seg = seg.unsqueeze(-1).expand(*seg.shape, self.seg_len)
+        seg = seg.reshape(*seg.shape[:-2], -1)[..., : x.shape[-1]]
+        ctx = x.mean(-1, keepdim=True) + seg
+        gate = torch.sigmoid(self.linear2(F.relu(self.linear1(ctx))))
+        return y * gate
+
+
+class _CamDenseLayer(nn.Module):
+    def __init__(self, in_ch, growth, bn_ch, kernel, dilation):
+        super().__init__()
+        self.nonlinear1 = _BnRelu(in_ch)
+        self.linear1 = nn.Conv1d(in_ch, bn_ch, 1, bias=False)
+        self.nonlinear2 = _BnRelu(bn_ch)
+        self.cam_layer = _CamLayer(bn_ch, growth, kernel, dilation)
+
+    def forward(self, x):
+        return self.cam_layer(self.nonlinear2(
+            self.linear1(self.nonlinear1(x))))
+
+
+class _FcmBlock(nn.Module):
+    def __init__(self, c_in, c_out, stride):
+        super().__init__()
+        self.conv1 = nn.Conv2d(c_in, c_out, 3, (stride, 1), 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(c_out)
+        self.conv2 = nn.Conv2d(c_out, c_out, 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(c_out)
+        self.shortcut = nn.Sequential()
+        if stride != 1 or c_in != c_out:
+            self.shortcut = nn.Sequential(
+                nn.Conv2d(c_in, c_out, 1, (stride, 1), bias=False),
+                nn.BatchNorm2d(c_out))
+
+    def forward(self, x):
+        out = self.bn2(self.conv2(F.relu(self.bn1(self.conv1(x)))))
+        return F.relu(out + self.shortcut(x))
+
+
+class TorchCampp(nn.Module):
+    def __init__(self, cfg):
+        super().__init__()
+        self.cfg = cfg
+        mc = cfg.m_channels
+
+        class Head(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv1 = nn.Conv2d(1, mc, 3, 1, 1, bias=False)
+                self.bn1 = nn.BatchNorm2d(mc)
+                self.layer1 = nn.Sequential(_FcmBlock(mc, mc, 2),
+                                            _FcmBlock(mc, mc, 1))
+                self.layer2 = nn.Sequential(_FcmBlock(mc, mc, 2),
+                                            _FcmBlock(mc, mc, 1))
+                self.conv2 = nn.Conv2d(mc, mc, 3, (2, 1), 1, bias=False)
+                self.bn2 = nn.BatchNorm2d(mc)
+
+            def forward(self, x):  # [B, F, T]
+                x = x.unsqueeze(1)
+                x = F.relu(self.bn1(self.conv1(x)))
+                x = self.layer2(self.layer1(x))
+                x = F.relu(self.bn2(self.conv2(x)))
+                b, c, f, t = x.shape
+                return x.reshape(b, c * f, t)
+
+        self.head = Head()
+        fcm_out = mc * (cfg.num_mels // 8)
+        bn_ch = cfg.bn_size * cfg.growth_rate
+
+        class Tdnn(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.linear = nn.Conv1d(fcm_out, cfg.init_channels, 5,
+                                        stride=2, padding=2, bias=False)
+                self.nonlinear = _BnRelu(cfg.init_channels)
+
+            def forward(self, x):
+                return self.nonlinear(self.linear(x))
+
+        class Transit(nn.Module):
+            def __init__(self, c_in, c_out):
+                super().__init__()
+                self.nonlinear = _BnRelu(c_in)
+                self.linear = nn.Conv1d(c_in, c_out, 1, bias=False)
+
+            def forward(self, x):
+                return self.linear(self.nonlinear(x))
+
+        class Dense(nn.Module):
+            def __init__(self, c_in, c_out):
+                super().__init__()
+                self.linear = nn.Conv1d(c_in, c_out, 1, bias=False)
+                self.nonlinear = _BnRelu(c_out, affine=False, relu=False)
+
+            def forward(self, x):  # [B, C]
+                x = self.linear(x.unsqueeze(-1)).squeeze(-1)
+                return self.nonlinear(x)
+
+        xv = nn.Module()
+        xv.tdnn = Tdnn()
+        c = cfg.init_channels
+        for i, (n_layers, dil) in enumerate(zip(cfg.block_layers,
+                                                cfg.dilations)):
+            block = nn.Module()
+            for j in range(n_layers):
+                setattr(block, f"tdnnd{j + 1}",
+                        _CamDenseLayer(c, cfg.growth_rate, bn_ch,
+                                       cfg.kernel, dil))
+                c += cfg.growth_rate
+            setattr(xv, f"block{i + 1}", block)
+            setattr(xv, f"transit{i + 1}", Transit(c, c // 2))
+            c //= 2
+        xv.out_nonlinear = _BnRelu(c)
+        xv.dense = Dense(2 * c, cfg.embed_dim)
+        self.xvector = xv
+        self._final_c = c
+
+    def forward(self, feats):  # [B, T, F] -> [B, embed]
+        cfg = self.cfg
+        x = self.head(feats.permute(0, 2, 1))
+        xv = self.xvector
+        x = xv.tdnn(x)
+        for i in range(len(cfg.block_layers)):
+            block = getattr(xv, f"block{i + 1}")
+            for j in range(cfg.block_layers[i]):
+                layer = getattr(block, f"tdnnd{j + 1}")
+                x = torch.cat([x, layer(x)], dim=1)
+            x = getattr(xv, f"transit{i + 1}")(x)
+        x = xv.out_nonlinear(x)
+        # 3D-Speaker statistics_pooling: mean + UNBIASED std over time
+        mean = x.mean(dim=-1)
+        std = x.std(dim=-1, unbiased=True)
+        return xv.dense(torch.cat([mean, std], dim=-1))
+
+
+def randomize_bn_stats(module: nn.Module, seed=0):
+    """Give BatchNorm running stats non-trivial values so parity tests
+    exercise the mean/var name mapping (fresh modules have mean 0, var 1)."""
+    g = torch.Generator().manual_seed(seed)
+    for m in module.modules():
+        if isinstance(m, (nn.BatchNorm1d, nn.BatchNorm2d)):
+            m.running_mean = torch.randn(m.num_features, generator=g) * 0.1
+            m.running_var = torch.rand(m.num_features, generator=g) + 0.5
+
+
 def state_dict_to_onnx(module: nn.Module, path, extra=None):
     """Write a module's state_dict as ONNX initializers (the importer's
     input format — torch.onnx.export keeps state-dict names for weights)."""
