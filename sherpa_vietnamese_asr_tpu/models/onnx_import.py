@@ -879,6 +879,177 @@ def load_convtasnet(path, cfg=None):
     return params, cfg
 
 
+def load_silero_vad(path, cfg=None):
+    """Load silero_vad_16k_op15.onnx (reference core/vad_utils.py:22-37)
+    into (params, cfg) for models/silero_vad.py.
+
+    Maps the Silero v5 traced-graph initializer names:
+      _model.stft.forward_basis_buffer        [2*n_freq, 1, filter_len]
+      _model.encoder.{i}.reparam_conv.weight  [C_out, C_in, 3] (+ .bias)
+      _model.decoder.rnn.weight_ih/weight_hh  [4H, in] (torch LSTMCell ifgo)
+      _model.decoder.rnn.bias_ih/bias_hh
+      _model.decoder.decoder.2.weight         [1, H, 1] conv head (+ .bias)
+    The STFT basis rows carry the window, so they replace the synthetic DFT
+    basis wholesale (magnitude output is sign-invariant in the imag rows).
+    """
+    import jax.numpy as jnp
+
+    from sherpa_vietnamese_asr_tpu.models.silero_vad import SileroVadConfig
+
+    g = read_onnx(path)
+    init = g["initializers"]
+
+    def pick(suffix):
+        hits = [k for k in init if k.endswith(suffix)]
+        if len(hits) != 1:
+            raise ImportReport(
+                f"[silero] expected exactly one *{suffix}, found {hits}; "
+                f"names: {sorted(init)[:12]}")
+        return init[hits[0]]
+
+    basis = pick("stft.forward_basis_buffer")
+    if basis.ndim != 3 or basis.shape[0] % 2:
+        raise ImportReport(f"[silero] bad stft basis shape {basis.shape}")
+    n_freq = basis.shape[0] // 2
+    filt = basis.shape[2]
+
+    enc = []
+    i = 0
+    while True:
+        hits = [k for k in init
+                if f"encoder.{i}." in k and k.endswith(".weight")]
+        if not hits:
+            break
+        w = init[hits[0]]
+        bkey = hits[0][: -len("weight")] + "bias"
+        enc.append({
+            "weight": jnp.asarray(
+                np.ascontiguousarray(np.transpose(w, (2, 1, 0)))),
+            "bias": jnp.asarray(init.get(bkey,
+                                         np.zeros(w.shape[0], np.float32))),
+        })
+        i += 1
+    if not enc:
+        raise ImportReport(
+            f"[silero] no encoder convs found; names: {sorted(init)[:12]}")
+
+    wi = pick("rnn.weight_ih")
+    wh = pick("rnn.weight_hh")
+    bi_ = pick("rnn.bias_ih")
+    bh = pick("rnn.bias_hh")
+    head_w = pick("decoder.2.weight")
+    head_b = pick("decoder.2.bias")
+
+    t = np.ascontiguousarray
+    params = {
+        "stft_cos": jnp.asarray(basis[:n_freq, 0, :]),
+        "stft_sin": jnp.asarray(basis[n_freq:, 0, :]),
+        "encoder": enc,
+        "lstm": {"wi": jnp.asarray(t(wi.T)), "wh": jnp.asarray(t(wh.T)),
+                 "b": jnp.asarray(bi_ + bh)},
+        "out": {"weight": jnp.asarray(t(head_w[:, :, 0].T)),
+                "bias": jnp.asarray(head_b)},
+    }
+    if cfg is None:
+        cfg = SileroVadConfig(
+            stft_filter_len=filt, n_freq=n_freq,
+            encoder_channels=tuple(e["weight"].shape[2] for e in enc),
+            lstm_dim=wh.shape[1])
+    return params, cfg
+
+
+def load_dnsmos(path, cfg=None):
+    """Load DNSMOS sig_bak_ovr.onnx (reference core/audio_analyzer.py:158)
+    into (params, cfg) for models/dnsmos.py.
+
+    The DNSMOS export came from TF/Keras, so initializer names are not
+    torch-style; mapping is structural: 3x3 conv kernels in graph order
+    (HWIO layout either natively or via [O,I,3,3] transpose), then the two
+    dense layers by shape. Raises ImportReport when the structure differs.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sherpa_vietnamese_asr_tpu.models.dnsmos import (
+        DnsmosConfig, init_dnsmos_params,
+    )
+
+    g = read_onnx(path)
+    init = g["initializers"]
+    # Keep graph order: iterate nodes, collect weight-bearing inputs.
+    order = []
+    for _op, ins, _outs, _name in g["nodes"]:
+        for name in ins:
+            if name in init and name not in order:
+                order.append(name)
+    for name in init:  # initializers not referenced by parsed nodes
+        if name not in order:
+            order.append(name)
+
+    convs, denses, biases = [], [], {}
+    for name in order:
+        a = init[name]
+        if a.ndim == 4 and 3 in a.shape[:2] + a.shape[2:]:
+            if a.shape[0] == 3 and a.shape[1] == 3:  # HWIO (TF native)
+                convs.append(a)
+            elif a.shape[2] == 3 and a.shape[3] == 3:  # OIHW (torch-style)
+                convs.append(np.ascontiguousarray(
+                    np.transpose(a, (2, 3, 1, 0))))
+        elif a.ndim == 2:
+            denses.append(a)
+        elif a.ndim == 1:
+            biases[name] = a
+    if len(convs) < 2 or len(denses) < 2:
+        raise ImportReport(
+            f"[dnsmos] structural scan found {len(convs)} convs / "
+            f"{len(denses)} denses; names: {sorted(init)[:12]}")
+
+    chain = []
+    c_in = 1
+    for a in convs:
+        if a.shape[2] != c_in:
+            a = np.ascontiguousarray(np.transpose(a, (0, 1, 3, 2)))
+        if a.shape[2] != c_in:
+            raise ImportReport(
+                f"[dnsmos] conv chain broken at {a.shape} (want in={c_in})")
+        chain.append(a)
+        c_in = a.shape[3]
+
+    def dense_to(d, d_in):
+        if d.shape[0] == d_in:
+            return d
+        if d.shape[1] == d_in:
+            return np.ascontiguousarray(d.T)
+        raise ImportReport(f"[dnsmos] dense {d.shape} does not take {d_in}")
+
+    d1 = dense_to(denses[-2], c_in)
+    head = dense_to(denses[-1], d1.shape[1])
+    if head.shape[1] != 3:
+        raise ImportReport(f"[dnsmos] head {head.shape} is not 3-wide")
+
+    if cfg is None:
+        cfg = DnsmosConfig(channels=tuple(a.shape[3] for a in chain),
+                           dense=d1.shape[1])
+    params = init_dnsmos_params(jax.random.PRNGKey(0), cfg)
+
+    def find_bias(c):
+        for name, b in biases.items():
+            if b.shape[0] == c and name not in params.get("_used", ()):
+                params.setdefault("_used", []).append(name)
+                return b
+        return np.zeros((c,), np.float32)
+
+    for i, a in enumerate(chain):
+        params["convs"][i] = {"weight": jnp.asarray(a),
+                              "bias": jnp.asarray(find_bias(a.shape[3]))}
+    params["dense1"] = {"weight": jnp.asarray(d1),
+                        "bias": jnp.asarray(find_bias(d1.shape[1]))}
+    params["head"] = {"weight": jnp.asarray(head),
+                      "bias": jnp.asarray(find_bias(3))}
+    params.pop("_used", None)
+    return params, cfg
+
+
 def resnet_speaker_name_map(params, cfg):
     """wespeaker ResNet34 state-dict names (under the 'resnet.' prefix the
     pyannote Community-1 embedding export uses — reference

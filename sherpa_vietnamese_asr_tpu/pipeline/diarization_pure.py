@@ -446,12 +446,29 @@ class PureDiarizer:
             if os.path.exists(plda_npz):
                 plda_data = load_plda(plda_npz)
 
+        # Central asset registry (models/assets.py) before random fallback.
+        from sherpa_vietnamese_asr_tpu.models import assets
+        if seg_params is None:
+            loaded = assets.load_segmentation()
+            if loaded is not None:
+                seg_params, seg_cfg = loaded
+        if emb_params is None:
+            loaded = assets.load_embedding_split()
+            if loaded is not None:
+                emb_params, emb_cfg = loaded
+        if plda_data is None:
+            plda_paths = assets.asset_paths("plda")
+            if plda_paths is not None:
+                plda_data = load_plda(plda_paths["plda_prepared.npz"])
+
         self.seg_cfg = seg_cfg or PyanNetConfig()
         self.emb_cfg = emb_cfg or ResNetSpeakerConfig()
         if seg_params is None:
+            assets.warn_random("diarization segmentation (PyanNet)")
             seg_params = init_pyannet_params(jax.random.PRNGKey(0),
                                              self.seg_cfg)
         if emb_params is None:
+            assets.warn_random("speaker embedding (ResNet34)")
             emb_params = init_resnet_params(jax.random.PRNGKey(1),
                                             self.emb_cfg)
         self.seg_params = seg_params

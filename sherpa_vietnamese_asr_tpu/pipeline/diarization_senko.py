@@ -158,12 +158,27 @@ class SenkoCamppDiarizer:
             PyanNetConfig, init_pyannet_params,
         )
 
+        from sherpa_vietnamese_asr_tpu.models import assets
+        if seg_params is None:
+            loaded = assets.load_segmentation()
+            if loaded is not None:
+                seg_params, seg_cfg = loaded
+        if campp_params is None:
+            loaded = assets.load_campp_asset()
+            if loaded is not None:
+                campp_params, campp_cfg = loaded
         self.seg_cfg = seg_cfg or PyanNetConfig()
-        self.seg_params = seg_params if seg_params is not None else \
-            init_pyannet_params(jax.random.PRNGKey(0), self.seg_cfg)
+        if seg_params is None:
+            assets.warn_random("diarization segmentation (PyanNet)")
+            seg_params = init_pyannet_params(jax.random.PRNGKey(0),
+                                             self.seg_cfg)
+        self.seg_params = seg_params
         self.campp_cfg = campp_cfg or CamppConfig()
-        self.campp_params = campp_params if campp_params is not None else \
-            init_campp_params(jax.random.PRNGKey(1), self.campp_cfg)
+        if campp_params is None:
+            assets.warn_random("speaker embedding (CAM++)")
+            campp_params = init_campp_params(jax.random.PRNGKey(1),
+                                             self.campp_cfg)
+        self.campp_params = campp_params
         self.num_speakers = num_speakers
         self.min_speakers = max(1, min_speakers)
         self.max_speakers = max_speakers

@@ -63,12 +63,27 @@ class OverlapSeparator:
             ConvTasNetConfig, init_convtasnet_params,
         )
 
+        from sherpa_vietnamese_asr_tpu.models import assets
+        if convtasnet_params is None:
+            loaded = assets.load_convtasnet_asset()
+            if loaded is not None:
+                convtasnet_params, convtasnet_cfg = loaded
+        if campp_params is None:
+            loaded = assets.load_campp_asset()
+            if loaded is not None:
+                campp_params, campp_cfg = loaded
         self.ct_cfg = convtasnet_cfg or ConvTasNetConfig()
-        self.ct_params = convtasnet_params if convtasnet_params is not None \
-            else init_convtasnet_params(jax.random.PRNGKey(0), self.ct_cfg)
+        if convtasnet_params is None:
+            assets.warn_random("Conv-TasNet overlap separator")
+            convtasnet_params = init_convtasnet_params(jax.random.PRNGKey(0),
+                                                       self.ct_cfg)
+        self.ct_params = convtasnet_params
         self.campp_cfg = campp_cfg or CamppConfig()
-        self.campp_params = campp_params if campp_params is not None \
-            else init_campp_params(jax.random.PRNGKey(1), self.campp_cfg)
+        if campp_params is None:
+            assets.warn_random("speaker embedding (CAM++)")
+            campp_params = init_campp_params(jax.random.PRNGKey(1),
+                                             self.campp_cfg)
+        self.campp_params = campp_params
         self.context_sec = context_sec
         self.fade_n = int(FADE_MS / 1000.0 * SAMPLE_RATE)
         # Pad embeddings inputs to a fixed frame budget for compile stability.

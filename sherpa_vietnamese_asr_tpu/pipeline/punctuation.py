@@ -41,10 +41,20 @@ def build_punctuation_restorer(model_dir=None, confidence=0.3,
         if os.path.exists(vocab_path):
             with open(vocab_path, encoding="utf-8") as f:
                 vocab = [line.rstrip("\n") for line in f]
+    from sherpa_vietnamese_asr_tpu.models import assets
+    if params is None:
+        loaded = assets.load_vibert_asset()
+        if loaded is not None:
+            params, cfg = loaded
+            paths = assets.asset_paths("vibert-capu")
+            if vocab is None and paths is not None:
+                with open(paths["vocab.txt"], encoding="utf-8") as f:
+                    vocab = [line.rstrip("\n") for line in f]
     if params is None:
         from sherpa_vietnamese_asr_tpu.models.vibert import (
             ViBertConfig, init_vibert_params,
         )
+        assets.warn_random("ViBERT punctuation model")
         cfg = ViBertConfig()
         params = init_vibert_params(jax.random.PRNGKey(0), cfg)
     if vocab is None:

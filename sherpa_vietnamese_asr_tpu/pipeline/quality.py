@@ -36,9 +36,16 @@ class QualityAnalyzer:
             DnsmosConfig, init_dnsmos_params,
         )
 
+        from sherpa_vietnamese_asr_tpu.models import assets
+        if params is None:
+            loaded = assets.load_dnsmos_asset()
+            if loaded is not None:
+                params, cfg = loaded
         self.cfg = cfg or DnsmosConfig()
-        self.params = params if params is not None else init_dnsmos_params(
-            jax.random.PRNGKey(0), self.cfg)
+        if params is None:
+            assets.warn_random("DNSMOS quality model")
+            params = init_dnsmos_params(jax.random.PRNGKey(0), self.cfg)
+        self.params = params
 
     @staticmethod
     def _map_scores(raw):

@@ -588,16 +588,24 @@ class TranscriberPipeline:
             return []
 
     def _default_vad_prob_fn(self):
-        """Silero-style VAD on device; random weights until ONNX import."""
-        import jax
+        """Silero VAD on device: real checkpoint via the asset registry when
+        present, else a LOUDLY-flagged random-weight fallback (replaces the
+        reference's silent per-window ORT session, core/vad_utils.py:22)."""
+        from sherpa_vietnamese_asr_tpu.models import assets, silero_vad
 
-        from sherpa_vietnamese_asr_tpu.models import silero_vad
-
-        params = silero_vad.init_silero_params(jax.random.PRNGKey(0))
+        loaded = assets.load_silero()
+        if loaded is not None:
+            params, cfg = loaded
+        else:
+            import jax
+            assets.warn_random("Silero VAD")
+            cfg = silero_vad.SileroVadConfig()
+            params = silero_vad.init_silero_params(jax.random.PRNGKey(0),
+                                                   cfg)
 
         def prob_fn(a):
             # Blocked + int16 upload: one compiled program for any length,
             # half the host->device bytes (the link is ~20 MB/s).
-            return silero_vad.silero_vad_probs_streamed(params, a)
+            return silero_vad.silero_vad_probs_streamed(params, a, cfg=cfg)
 
         return prob_fn

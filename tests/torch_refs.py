@@ -394,6 +394,69 @@ class TorchCampp(nn.Module):
         return xv.dense(torch.cat([mean, std], dim=-1))
 
 
+# ---------------------------------------------------------------------------
+# ResNet34 speaker embedding frame encoder (wespeaker-voxceleb-resnet34-LM as
+# wrapped by pyannote Community-1; reference convert_onnx/
+# split_pyannote_embedding.py extracts the encoder + resnet.seg_1 Gemm)
+# ---------------------------------------------------------------------------
+
+class _WsBlock(nn.Module):
+    def __init__(self, c_in, c_out, stride):
+        super().__init__()
+        self.conv1 = nn.Conv2d(c_in, c_out, 3, stride, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(c_out)
+        self.conv2 = nn.Conv2d(c_out, c_out, 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(c_out)
+        self.shortcut = nn.Sequential()
+        if stride != 1 or c_in != c_out:
+            self.shortcut = nn.Sequential(
+                nn.Conv2d(c_in, c_out, 1, stride, bias=False),
+                nn.BatchNorm2d(c_out))
+
+    def forward(self, x):
+        out = self.bn2(self.conv2(F.relu(self.bn1(self.conv1(x)))))
+        return F.relu(out + self.shortcut(x))
+
+
+class TorchResNetSpeaker(nn.Module):
+    """Frame-feature encoder half of the split export: [B, T, 80] fbank ->
+    [B, C*F', T'] frame features (the tensor at /resnet/pool/Reshape)."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        self.cfg = cfg
+
+        class ResNet(nn.Module):
+            def __init__(self):
+                super().__init__()
+                bc = cfg.base_channels
+                self.conv1 = nn.Conv2d(1, bc, 3, 1, 1, bias=False)
+                self.bn1 = nn.BatchNorm2d(bc)
+                c_in = bc
+                for stage, n_blocks in enumerate(cfg.blocks):
+                    c_out = bc * (2 ** stage)
+                    blocks = []
+                    for b in range(n_blocks):
+                        stride = 2 if (stage > 0 and b == 0) else 1
+                        blocks.append(_WsBlock(c_in, c_out, stride))
+                        c_in = c_out
+                    setattr(self, f"layer{stage + 1}",
+                            nn.Sequential(*blocks))
+                self.seg_1 = nn.Linear(2 * cfg.frame_feature_dim,
+                                       cfg.embed_dim)
+
+        self.resnet = ResNet()
+
+    def forward(self, fbank):  # [B, T, F]
+        x = fbank.permute(0, 2, 1).unsqueeze(1)  # [B, 1, F, T]
+        r = self.resnet
+        x = F.relu(r.bn1(r.conv1(x)))
+        for stage in range(len(self.cfg.blocks)):
+            x = getattr(r, f"layer{stage + 1}")(x)
+        b, c, f, t = x.shape
+        return x.reshape(b, c * f, t)
+
+
 def randomize_bn_stats(module: nn.Module, seed=0):
     """Give BatchNorm running stats non-trivial values so parity tests
     exercise the mean/var name mapping (fresh modules have mean 0, var 1)."""
