@@ -371,3 +371,44 @@ def test_dnsmos_structural_import(rng, tmp_path):
     cfg_small = DnsmosConfig(channels=chans, dense=12)
     out = np.asarray(dnsmos_forward(params, audio, cfg_small))
     assert out.shape == (1, 3) and np.isfinite(out).all()
+
+
+def test_rnnt_decoder_joiner_match_torch(rng):
+    """icefall stateless decoder (Embedding + grouped bias-free Conv1d k=2 +
+    ReLU) and joiner (tanh(enc_proj + dec_proj) @ out): JAX grouped-matmul
+    einsum vs torch primitives."""
+    import jax
+
+    from sherpa_vietnamese_asr_tpu.models import rnnt as m
+
+    cfg = m.RnntConfig(vocab_size=40, context_size=2, decoder_dim=16,
+                       joiner_dim=12, encoder_out_dim=10)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(11))
+    dec = m.init_decoder_params(k1, cfg)
+    joi = m.init_joiner_params(k2, cfg)
+
+    ctx = rng.integers(0, 40, (5, 2)).astype(np.int32)
+    got_dec = np.asarray(m.decoder_forward(dec, ctx, cfg))
+
+    emb = torch.nn.Embedding(40, 16)
+    conv = torch.nn.Conv1d(16, 16, 2, groups=16 // 4, bias=False)
+    with torch.no_grad():
+        emb.weight.copy_(torch.tensor(np.asarray(dec["embedding"])))
+        conv.weight.copy_(torch.tensor(np.asarray(dec["conv_weight"])))
+        e = emb(torch.tensor(ctx, dtype=torch.long))  # [N, K, D]
+        want_dec = torch.relu(conv(e.permute(0, 2, 1))[:, :, 0]).numpy()
+    np.testing.assert_allclose(got_dec, want_dec, rtol=1e-5, atol=1e-6)
+
+    enc = rng.standard_normal((5, 10)).astype(np.float32)
+    got_j = np.asarray(m.joiner_forward(joi, enc, got_dec))
+    with torch.no_grad():
+        ep = torch.tensor(enc) @ torch.tensor(
+            np.asarray(joi["encoder_proj"]["weight"])) + torch.tensor(
+            np.asarray(joi["encoder_proj"]["bias"]))
+        dp = torch.tensor(want_dec) @ torch.tensor(
+            np.asarray(joi["decoder_proj"]["weight"])) + torch.tensor(
+            np.asarray(joi["decoder_proj"]["bias"]))
+        want_j = (torch.tanh(ep + dp) @ torch.tensor(
+            np.asarray(joi["output"]["weight"])) + torch.tensor(
+            np.asarray(joi["output"]["bias"]))).numpy()
+    np.testing.assert_allclose(got_j, want_j, rtol=1e-5, atol=1e-5)
