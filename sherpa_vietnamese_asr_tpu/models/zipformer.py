@@ -164,6 +164,20 @@ def _clamp_tail(x, lens):
     return jnp.take_along_axis(x, idx[:, :, None], axis=1)
 
 
+def _banded_freq_matrix(f_in: int) -> np.ndarray:
+    """[F, F', 3] one-hot band: M[f, f', d] = 1 iff f == f' + d - 1.
+
+    Lets a k3 same-padded frequency conv be expressed as a dense [F, F'*C]
+    matmul (trace-time constant mask contracted with the conv kernel)."""
+    m = np.zeros((f_in, f_in, 3), np.float32)
+    for fp in range(f_in):
+        for d in range(3):
+            src = fp + d - 1
+            if 0 <= src < f_in:
+                m[src, fp, d] = 1.0
+    return m
+
+
 def encoder_embed(params, x, out_lens, cfg: ZipformerConfig):
     """[B, T, 80] -> [B, (T-7)//2, encoder_dim[0]].
 
@@ -173,11 +187,22 @@ def encoder_embed(params, x, out_lens, cfg: ZipformerConfig):
     """
     dt = jnp.dtype(cfg.compute_dtype)
     b, t, f = x.shape
-    h = x[:, :, :, None].astype(dt)  # NHWC: [B, T, F, 1]
-    # conv1: k3, time pad 0, freq pad 1, stride 1
-    h = jax.lax.conv_general_dilated(
-        h, params["conv1"]["weight"].astype(dt), (1, 1), [(0, 0), (1, 1)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    # conv1 (1->8 channels, k3x3, freq same-pad, time valid) as a banded
+    # dense matmul: a C_in=1 NHWC conv occupies 1/128 of the TPU vector
+    # lanes and XLA lowers it pathologically (measured 33.6 ms of the 47 ms
+    # encoder on v5e for an 8x30 s batch — the single hottest op in the
+    # model). Stacking the 3 time taps along features and contracting a
+    # [3*F, F*C1] banded matrix built from the 3x3xC1 kernel runs the same
+    # math as one well-shaped MXU matmul (~1 ms). Flatten order (f major,
+    # channel minor) matches NHWC so downstream convs are unchanged.
+    c1 = params["conv1"]["weight"].shape[-1]
+    k1 = params["conv1"]["weight"].astype(dt)[:, :, 0, :]  # [3(t), 3(f), C1]
+    band = jnp.asarray(_banded_freq_matrix(f), dt)  # [F, F', 3]
+    w1 = jnp.einsum("xyd,jdc->jxyc", band, k1)  # [3(t), F, F', C1]
+    w1 = w1.reshape(3 * f, f * c1)
+    taps = jnp.concatenate(
+        [x[:, 0: t - 2], x[:, 1: t - 1], x[:, 2: t]], axis=-1).astype(dt)
+    h = (taps @ w1).reshape(b, t - 2, f, c1)
     h = swoosh_r(h + params["conv1"]["bias"].astype(dt))
     # conv2: k3, stride 2 both dims, no pad
     h = jax.lax.conv_general_dilated(
