@@ -249,11 +249,23 @@ WantedBy=multi-user.target
 
 def cmd_calibrate(args):
     from sherpa_vietnamese_asr_tpu.pipeline.calibration import (
-        run_device_calibration,
+        auto_batch_size, autotune_max_batch, run_device_calibration,
     )
 
-    report = run_device_calibration(report_path=args.output,
-                                    progress_callback=print)
+    report = run_device_calibration(progress_callback=print)
+    if args.autotune:
+        # Reference batch autotune (core/calibration.py:968) + VRAM-aware
+        # sizing (hardware_accel.py:639-678), retargeted to TPU HBM.
+        tune = autotune_max_batch(progress_callback=print)
+        report["batch_autotune"] = tune
+        report["recommended"] = {
+            "max_batch": tune["best_batch"] or auto_batch_size("decode", 8),
+            "embedding_batch": auto_batch_size("embedding", 16),
+            "vibert_batch": auto_batch_size("vibert", 16),
+            "campp_batch": auto_batch_size("campp", 32),
+        }
+    with open(args.output, "w", encoding="utf-8") as f:
+        json.dump(report, f, indent=2)
     print(json.dumps({k: v for k, v in report.items() if k != "stages"}))
     print(f"wrote {args.output}")
     return 0
@@ -355,6 +367,9 @@ def main(argv=None):
 
     c = sub.add_parser("calibrate", help="device calibration report")
     c.add_argument("--output", default="calibration_report.json")
+    c.add_argument("--autotune", action="store_true",
+                   help="probe decode batch sizes and emit recommended "
+                        "max_batch per stage")
     c.set_defaults(fn=cmd_calibrate)
 
     m = sub.add_parser("monitor", help="resource monitor")

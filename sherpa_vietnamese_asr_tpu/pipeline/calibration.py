@@ -126,6 +126,148 @@ def _stage_specs(rng):
     return specs
 
 
+def hbm_budget_mb(device=None):
+    """Free-accelerator-memory estimate in MB via device.memory_stats()
+    (TPU runtime exposes bytes_limit/bytes_in_use). None when unavailable
+    (CPU backend). TPU analogue of reference gpu_vram_mb
+    (core/hardware_accel.py:616-637)."""
+    import jax
+
+    if device is None:
+        devs = jax.devices()
+        if not devs or devs[0].platform == "cpu":
+            return None
+        device = devs[0]
+    try:
+        stats = device.memory_stats()
+    except Exception:
+        return None
+    if not stats:
+        return None
+    limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+    if not limit:
+        return None
+    in_use = stats.get("bytes_in_use", 0)
+    return int((limit - in_use) / (1024 * 1024))
+
+
+def auto_batch_size(stage, default, budget_mb=None):
+    """HBM-tiered heuristic batch size per stage.
+
+    Behavioral port of reference auto_batch_size
+    (core/hardware_accel.py:639-678), retargeted from VRAM to TPU HBM.
+    Used when no autotuned calibration report is available."""
+    if budget_mb is None:
+        budget_mb = hbm_budget_mb()
+    if budget_mb is None:
+        return int(default)
+    stage_key = (stage or "").lower()
+    if "embedding" in stage_key:
+        for floor, batch in ((10000, 32), (6000, 24), (3000, 16)):
+            if budget_mb >= floor:
+                return batch
+        return 8
+    if "punct" in stage_key or "vibert" in stage_key:
+        for floor, batch in ((6000, 32), (2500, 16)):
+            if budget_mb >= floor:
+                return batch
+        return 8
+    if "campp" in stage_key or "speaker" in stage_key:
+        for floor, batch in ((10000, 128), (7000, 96), (3500, 64)):
+            if budget_mb >= floor:
+                return batch
+        return 32
+    if budget_mb >= 7000:
+        return max(default, 64)
+    if budget_mb >= 3500:
+        return max(default, 32)
+    return min(default, 16)
+
+
+def autotune_max_batch(model=None, candidates=(4, 8, 16, 32, 64),
+                       chunk_sec=None, progress_callback=None):
+    """Probe the batched chunk-decode program at each candidate batch size
+    and pick the one with the lowest sec-per-chunk.
+
+    TPU analogue of reference _tune_gpu_batch (core/calibration.py:968):
+    every candidate is probed with a real timed run (compile excluded via a
+    warmup call), failures (e.g. HBM OOM at large batches) are recorded and
+    skipped, and the best batch is chosen by sec_per_item. Compilation cost
+    is one program per candidate — this is a one-time calibration step whose
+    result is persisted in the report for the pipeline to consume.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sherpa_vietnamese_asr_tpu.pipeline.decoder import (
+        SAMPLE_RATE, decode_batch_jit,
+    )
+
+    if model is None:
+        from sherpa_vietnamese_asr_tpu.models.registry import (
+            ZIPFORMER_30M, random_asr_model,
+        )
+        model = random_asr_model(vocab_size=500, zip_cfg=ZIPFORMER_30M)
+    if chunk_sec is None:
+        chunk_sec = 33.0
+    pad_len = int(chunk_sec * SAMPLE_RATE)
+    rng = np.random.default_rng(0)
+    attempts = []
+    best = None
+    for i, cand in enumerate(sorted(set(int(c) for c in candidates))):
+        if progress_callback:
+            progress_callback(
+                f"PHASE:Calibration|batch {cand}|{i * 100 // len(candidates)}")
+        try:
+            audio = jnp.asarray(
+                rng.standard_normal((cand, pad_len)).astype(np.float32) * 0.1)
+            lens = jnp.full((cand,), pad_len, jnp.int32)
+
+            def run():
+                res, enc_lens = decode_batch_jit(
+                    audio, lens, model.enc_params, model.dec_params,
+                    model.joi_params, model.zip_cfg, model.rnnt_cfg,
+                    model.beam_size)
+                jax.block_until_ready(res.tokens)
+
+            t, _ = _time_fn(run, warmup=1, iters=2)
+            attempt = {"batch": cand, "ok": True,
+                       "elapsed_sec": round(t, 5),
+                       "sec_per_item": round(t / cand, 6),
+                       "items_per_sec": round(cand / t, 2)}
+        except Exception as e:
+            attempt = {"batch": cand, "ok": False, "error": str(e)[:200]}
+        attempts.append(attempt)
+        if attempt["ok"] and (best is None
+                              or attempt["sec_per_item"]
+                              < best["sec_per_item"]):
+            best = attempt
+    return {"attempts": attempts,
+            "best_batch": best["batch"] if best else None,
+            "hbm_free_mb": hbm_budget_mb()}
+
+
+def resolve_max_batch(config, report_path=None):
+    """Pipeline-side consumer: explicit max_batch > 0 wins (absent key keeps
+    the historical default 8); max_batch == 0 ("auto") reads the autotuned
+    recommendation from the calibration report, falling back to the
+    HBM-tiered heuristic."""
+    explicit = int((config or {}).get("max_batch", 8) or 0)
+    if explicit > 0:
+        return explicit
+    path = report_path or (config or {}).get("calibration_report") \
+        or "calibration_report.json"
+    try:
+        with open(path, encoding="utf-8") as f:
+            report = json.load(f)
+        rec = ((report.get("recommended") or {}).get("max_batch"))
+        if rec:
+            return int(rec)
+    except (OSError, ValueError):
+        pass
+    return auto_batch_size("decode", 8)
+
+
 def run_device_calibration(report_path=None, progress_callback=None):
     """Benchmark each stage on every available backend; gate accelerator use
     on speedup >= 1.20x AND numeric tolerance vs the CPU reference.

@@ -151,6 +151,15 @@ class TranscriberPipeline:
     def _cancelled(self):
         return self.cancel_check is not None and self.cancel_check()
 
+    def _max_batch(self):
+        """Decode batch size: explicit config wins; 0 means auto — consume
+        the calibrate --autotune recommendation (reference batch autotune,
+        core/calibration.py:968) or the HBM-tiered heuristic."""
+        from sherpa_vietnamese_asr_tpu.pipeline.calibration import (
+            resolve_max_batch,
+        )
+        return resolve_max_batch(self.config)
+
     def run(self):
         t0 = time.time()
         timing = {"upload_convert": 0.0, "transcription": 0.0,
@@ -296,7 +305,7 @@ class TranscriberPipeline:
                 except Exception:
                     return chunk
         decoder = BatchedChunkDecoder(
-            self.model, max_batch=int(self.config.get("max_batch", 8)),
+            self.model, max_batch=self._max_batch(),
             model_b=self.model_b, chunk_transform=chunk_transform)
         spans = [(s, e) for s, e, _ in plan]
         decoded = decoder.decode_spans(
@@ -416,8 +425,7 @@ class TranscriberPipeline:
                 self._emit("PHASE:Diarization|Done|100")
                 if self.config.get("overlap_separation", False):
                     ov_decoder = BatchedChunkDecoder(
-                        self.model,
-                        max_batch=int(self.config.get("max_batch", 8)))
+                        self.model, max_batch=self._max_batch())
                     self._overlap_segments = self._run_overlap_separation(
                         audio, raw_speaker_segments, ov_decoder, timing)
             except Exception:

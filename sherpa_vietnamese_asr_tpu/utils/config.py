@@ -71,7 +71,7 @@ PIPELINE_CONFIG_SPEC = {
     "overlap_separation": (bool, False),
     "rover_mode": (bool, False),
     "save_ram": (bool, False),
-    "max_batch": (int, 8, 1, 128),
+    "max_batch": (int, 8, 0, 128),  # 0 = auto (calibration autotune/HBM)
     "hotwords_file": (str, ""),
     "hotwords_score": (float, 1.5, 0.0, 10.0),
     "hotword_phrases": (list, None),
