@@ -95,12 +95,13 @@ def _beam_step(state, t, enc_t, dec_params, joi_params, cfg: RnntConfig,
     tokens, n_emit = state["tokens"], state["n_emit"]
     logp = state["logp"]
 
-    # Decoder context = last context_size entries of ([-1, 0] + emitted), >=0.
-    pos = jnp.arange(cfg.context_size)[None, :] + n_emit[:, None]  # [beam, K]
-    # emitted index for context slot k is n_emit - (K - k), i.e. pos - K
-    ctx_idx = jnp.clip(pos - cfg.context_size, 0, u_max - 1)
-    ctx_tok = jnp.take_along_axis(tokens, ctx_idx, axis=1)
-    ctx = jnp.where(pos >= cfg.context_size, ctx_tok, 0)  # init blanks
+    # Decoder context = last context_size entries of ([-1, 0] + emitted),
+    # >=0 — carried directly as a [beam, K] ring in the scan state instead
+    # of gathered from the [beam, U_max] token matrix each frame: the
+    # minor-axis take_along_axis cost ~20 us/frame on TPU (more than the
+    # decoder+joiner matmuls themselves); the carried context is a [beam, K]
+    # shift-on-emit.
+    ctx = state["ctx"]
 
     dec_out = decoder_forward(dec_params, ctx, cfg)           # [beam, D]
     logits = joiner_forward(joi_params, enc_t[None, :], dec_out)  # [beam, V]
@@ -122,6 +123,12 @@ def _beam_step(state, t, enc_t, dec_params, joi_params, cfg: RnntConfig,
     p_n = n_emit[hi]
     p_logp = logp[hi]
     p_hw = state["hw_state"][hi]
+    p_ctx = ctx[hi]
+
+    # Shift the carried decoder context on non-blank emission.
+    new_ctx = jnp.where(
+        is_blank[:, None], p_ctx,
+        jnp.concatenate([p_ctx[:, 1:], tok[:, None]], axis=1))
 
     # Non-blank: append token at column p_n.
     cols = jnp.arange(u_max)[None, :]
@@ -178,6 +185,7 @@ def _beam_step(state, t, enc_t, dec_params, joi_params, cfg: RnntConfig,
         "n_emit": upd(new_n, state["n_emit"]),
         "logp": upd(new_score, state["logp"]),
         "hw_state": upd(new_hw, state["hw_state"]),
+        "ctx": upd(new_ctx, state["ctx"]),
         "t_valid": state["t_valid"],
     }
 
@@ -196,6 +204,8 @@ def _beam_search_single(enc_out, enc_len, dec_params, joi_params,
         "n_emit": jnp.zeros((beam,), jnp.int32),
         "logp": jnp.full((beam,), NEG_INF, jnp.float32).at[0].set(0.0),
         "hw_state": jnp.zeros((beam,), jnp.int32),
+        # Decoder context ring ([-1, 0] + emitted, >=0 -> init zeros).
+        "ctx": jnp.zeros((beam, cfg.context_size), jnp.int32),
         "t_valid": enc_len,
     }
 

@@ -1,0 +1,357 @@
+# RNN-T modified beam search as ONE Pallas TPU megakernel.
+#
+# The XLA lax.scan path (ops/beam_search.py) is correct but latency-bound on
+# hardware: each of the T frame steps is a serial chain of ~15 small fused
+# kernels (joiner matmuls, softmax, top_k, gathers), costing ~37-42 us/frame
+# regardless of tensor sizes — per-kernel launch latency, not compute
+# (measured on-chip; see PERFORMANCE.md). This kernel runs the WHOLE scan as
+# a single pallas_call with grid=(T,): TPU grid steps execute sequentially,
+# so the beam state lives in VMEM refs across steps and each frame costs
+# only its actual VPU/MXU work.
+#
+# Behavioral contract: token-identical to ops/beam_search.beam_search_batch
+# (itself oracle-tested against the reference algorithm,
+# core/asr_engine.py:1023-1206). Design notes:
+#   * decoder context is carried as the EMBEDDING pair (e0, e1) of the last
+#     two tokens, so the stateless decoder's grouped conv becomes two dense
+#     [D, D] matmuls (block-diagonal weights built at trace time);
+#   * the new token's embedding row is fetched with a one-hot MXU matmul at
+#     HIGHEST precision (exact row copy) — vector gathers from VMEM are not
+#     a Mosaic primitive;
+#   * top-k is 8 passes of (global max, min-flat-index tie-break, mask) —
+#     identical ordering to lax.top_k (stable, lower index first);
+#   * beam-axis parent gathers are unrolled selects (beam is 8);
+#   * hotword boosting is NOT implemented here — callers with hotword tables
+#     use the XLA path (decode_feats_jit picks automatically).
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sherpa_vietnamese_asr_tpu.models.rnnt import RnntConfig
+from sherpa_vietnamese_asr_tpu.ops.beam_search import NEG_INF, BeamResult
+
+_INT_BIG = 2 ** 30  # python int: jnp scalars here would be captured consts
+
+
+def _dense_decoder_weights(dec_params, cfg: RnntConfig):
+    """Grouped context conv [D, D/G, K] -> K dense [D, D] matrices W_k with
+    W_k[j, o] = conv[o, j % ipg, k] iff j and o are in the same group."""
+    w = dec_params["conv_weight"]  # [D_out, ipg, K]
+    d, ipg, k = w.shape
+    opg = d // (d // ipg)  # outputs per group == ipg for icefall decoders
+    jj = jnp.arange(d)[:, None]
+    oo = jnp.arange(d)[None, :]
+    same_group = (jj // ipg) == (oo // opg)
+    mats = []
+    for kk in range(k):
+        dense = w[oo, jj % ipg, kk]  # [D, D] gather (trace-time, on host ok)
+        mats.append(jnp.where(same_group, dense, 0.0).astype(jnp.float32))
+    return mats
+
+
+def _metrics_const(v: int):
+    import math
+
+    alpha = 1.0 / 3.0
+    max_entropy = math.log(v) if v > 1 else 1.0
+    tsallis_max = (1.0 / (alpha - 1.0)) * (1.0 - v ** (1.0 - alpha)) \
+        if v > 1 else 1.0
+    return alpha, max_entropy, tsallis_max
+
+
+def _beam_kernel(lens_ref, enc_ref, emb_hi_ref, emb_mid_ref,
+                 emb_lo_ref, w0_ref, w1_ref,
+                 wdp_ref, bdp_ref, we_ref, be_ref, wo_ref, bo_ref,
+                 tokens_ref, frames_ref, tok_logp_ref, ent_ref,
+                 n_emit_ref, logp_ref,
+                 e0_ref, e1_ref,
+                 *, b: int, beam: int, u: int, v: int, blank_id: int):
+    t = pl.program_id(0)
+    f32 = jnp.float32
+
+    @pl.when(t == 0)
+    def _init():
+        tokens_ref[...] = jnp.zeros((b, beam, u), jnp.int32)
+        frames_ref[...] = jnp.zeros((b, beam, u), jnp.int32)
+        tok_logp_ref[...] = jnp.zeros((b, beam, u), f32)
+        ent_ref[...] = jnp.zeros((b, beam, 4 * u), f32)
+        n_emit_ref[...] = jnp.zeros((b, beam), jnp.int32)
+        beam_iota2 = jax.lax.broadcasted_iota(jnp.int32, (b, beam), 1)
+        logp_ref[...] = jnp.where(beam_iota2 == 0, f32(0.0), f32(NEG_INF))
+        # context ([-1, 0] + emitted, >=0) starts as token 0 for both slots
+        e_blank = (emb_hi_ref[0:1, :].astype(f32)
+                   + emb_mid_ref[0:1, :].astype(f32)
+                   + emb_lo_ref[0:1, :].astype(f32))  # [1, D]
+        e0_ref[...] = e_blank + jnp.zeros(
+            (b * beam, e_blank.shape[1]), f32)
+        e1_ref[...] = e0_ref[...]
+
+    # ---- joiner logits for every (chunk, beam) --------------------------
+    enc_t = enc_ref[0, :, :].astype(f32)                     # [B, E]
+    e_j = jnp.dot(enc_t, we_ref[...],
+                  preferred_element_type=f32,
+                  precision=jax.lax.Precision.HIGHEST) + be_ref[...]  # [B, J]
+    dec_in0 = e0_ref[...]                                    # [B*beam, D]
+    dec_in1 = e1_ref[...]
+    d0 = jnp.dot(dec_in0, w0_ref[...], preferred_element_type=f32,
+                 precision=jax.lax.Precision.HIGHEST)
+    d0 = d0 + jnp.dot(dec_in1, w1_ref[...], preferred_element_type=f32,
+                      precision=jax.lax.Precision.HIGHEST)
+    dec_out = jnp.maximum(d0, 0.0)                           # [B*beam, D]
+    d_j = jnp.dot(dec_out, wdp_ref[...], preferred_element_type=f32,
+                  precision=jax.lax.Precision.HIGHEST) + bdp_ref[...]
+    j_dim = d_j.shape[-1]
+    h = jnp.tanh(d_j.reshape(b, beam, j_dim) + e_j[:, None, :])
+    logits = jnp.dot(h.reshape(b * beam, j_dim), wo_ref[...],
+                     preferred_element_type=f32,
+                     precision=jax.lax.Precision.HIGHEST) + bo_ref[...]
+
+    m0 = jnp.max(logits, axis=-1, keepdims=True)
+    z = logits - m0
+    lse = jnp.log(jnp.sum(jnp.exp(z), axis=-1, keepdims=True))
+    lp = z - lse                                             # [B*beam, V]
+    lp3 = lp.reshape(b, beam, v)
+    p3 = jnp.exp(lp3)
+
+    logp_old = logp_ref[...]                                 # [B, beam]
+    acc = lp3 + logp_old[:, :, None]                         # [B, beam, V]
+
+    # ---- exact top-k: beam passes of (max, min-flat-index, mask) --------
+    beam_iota3 = jax.lax.broadcasted_iota(jnp.int32, (b, beam, v), 1)
+    lane_iota3 = jax.lax.broadcasted_iota(jnp.int32, (b, beam, v), 2)
+    flat_id = beam_iota3 * v + lane_iota3                    # [B, beam, V]
+    flat_f = flat_id.astype(f32)  # ids < 2^24: exact in f32 (int32 == with
+    #                               broadcast operands miscompares on Mosaic)
+    his, toks, scores = [], [], []
+    for _p in range(beam):
+        # two-stage reductions: Mosaic rejects [B,1,1] (1,1)-minor arrays
+        mrow = jnp.max(acc, axis=-1)                          # [B, beam]
+        mx = jnp.max(mrow, axis=-1, keepdims=True)            # [B, 1]
+        # NOTE: jnp.broadcast_to of [X,1] lane vectors TRANSPOSES on
+        # Mosaic (observed on v5e) — broadcast arithmetically instead.
+        mxb = (mx + jnp.zeros((b, beam), f32))[:, :, None]    # [B, beam, 1]
+        cand = jnp.where(acc == mxb, flat_id, _INT_BIG)
+        cmin = jnp.min(cand, axis=-1)                         # [B, beam]
+        fmin = jnp.min(cmin, axis=-1, keepdims=True)          # [B, 1]
+        his.append(fmin // v)                                 # [B, 1]
+        toks.append(fmin % v)
+        scores.append(mx)
+        fminb = (fmin.astype(f32) + jnp.zeros((b, beam), f32))[:, :, None]
+        acc = jnp.where(flat_f == fminb, f32(NEG_INF), acc)
+    hi = jnp.concatenate(his, axis=1)                        # [B, beam]
+    tok = jnp.concatenate(toks, axis=1)
+    top_scores = jnp.concatenate(scores, axis=1)             # [B, beam]
+    is_blank = tok == blank_id
+
+    # ---- per-beam entropy metrics from the raw logits -------------------
+    alpha, max_entropy, tsallis_max = _metrics_const(v)
+    entropy = -jnp.sum(p3 * lp3, axis=-1, keepdims=True)     # [B, beam, 1]
+    tsallis = (1.0 / (alpha - 1.0)) * (
+        1.0 - jnp.sum(jnp.exp(lp3 * alpha), axis=-1, keepdims=True))
+    pm1 = jnp.max(p3, axis=-1, keepdims=True)                # top1 prob
+    pmask = jnp.where(p3 == pm1, f32(-1.0), p3)
+    pm2 = jnp.max(pmask, axis=-1, keepdims=True)
+    met = jnp.concatenate([tsallis / tsallis_max, pm1 - pm2,
+                           entropy / max_entropy, pm1], axis=-1)  # [B,beam,4]
+
+    # ---- gather parent state (unrolled over old beams) ------------------
+    hi3 = hi[:, :, None]  # int32 expand (bool minor-dim reshapes crash)
+
+    def gather_rows(ref3):
+        old = ref3  # [B, beam, X]
+        out = jnp.zeros_like(old)
+        for i in range(beam):
+            out = jnp.where(hi3 == i, old[:, i:i + 1, :], out)
+        return out
+
+    p_tokens = gather_rows(tokens_ref[...])
+    p_frames = gather_rows(frames_ref[...])
+    p_tok_logp = gather_rows(tok_logp_ref[...])
+    p_ent = gather_rows(ent_ref[...])
+    p_n = jnp.zeros((b, beam), jnp.int32)
+    p_logp = jnp.zeros((b, beam), f32)
+    for i in range(beam):
+        sel2 = hi == i
+        p_n = jnp.where(sel2, n_emit_ref[:, i:i + 1], p_n)
+        p_logp = jnp.where(sel2, logp_old[:, i:i + 1], p_logp)
+    p_met = gather_rows(met)
+    d = e0_ref.shape[-1]
+    p_e0 = gather_rows(e0_ref[...].reshape(b, beam, d))
+    p_e1 = gather_rows(e1_ref[...].reshape(b, beam, d))
+
+    # ---- new context embeddings ----------------------------------------
+    lane_v3 = jax.lax.broadcasted_iota(jnp.int32, (b, beam, v), 2)
+    onehot = (lane_v3 == tok[:, :, None]).astype(jnp.bfloat16).reshape(
+        b * beam, v)
+    # Exact f32 row fetch in 3 bf16 MXU passes: emb = hi + mid + lo with 8
+    # mantissa bits each (24 total = f32), and onehot (0/1) is bf16-exact.
+    emb_new = (jnp.dot(onehot, emb_hi_ref[...], preferred_element_type=f32)
+               + jnp.dot(onehot, emb_mid_ref[...], preferred_element_type=f32)
+               + jnp.dot(onehot, emb_lo_ref[...], preferred_element_type=f32))
+    emb_new = emb_new.reshape(b, beam, d)
+    blank3 = tok[:, :, None] == blank_id
+    new_e0 = jnp.where(blank3, p_e0, p_e1)
+    new_e1 = jnp.where(blank3, p_e1, emb_new)
+
+    # ---- positional appends --------------------------------------------
+    cols = jax.lax.broadcasted_iota(jnp.int32, (b, beam, u), 2)
+    pos = jnp.clip(p_n, 0, u - 1)[:, :, None]
+    at_pos = (cols == pos) & (~blank3)
+    new_tokens = jnp.where(at_pos, tok[:, :, None], p_tokens)
+    new_frames = jnp.where(at_pos, t, p_frames)
+    # tok_lp == top_score - parent cumulative score (both f32, exact chain)
+    tok_lp = top_scores - p_logp
+    new_tok_logp = jnp.where(at_pos, tok_lp[:, :, None], p_tok_logp)
+    cols4 = jax.lax.broadcasted_iota(jnp.int32, (b, beam, 4 * u), 2)
+    at_pos4 = ((cols4 % u) == pos) & (~blank3)
+    metric_id = cols4 // u                                   # 0..3
+    met_val = jnp.where(
+        metric_id == 0, p_met[:, :, 0:1],
+        jnp.where(metric_id == 1, p_met[:, :, 1:2],
+                  jnp.where(metric_id == 2, p_met[:, :, 2:3],
+                            p_met[:, :, 3:4])))
+    new_ent = jnp.where(at_pos4, met_val, p_ent)
+    new_n = p_n + jnp.where(is_blank, 0, 1)
+
+    # ---- dedup: log-add merge of identical emitted sequences ------------
+    # equal[b, i, j] = sequences of new beams i and j identical
+    # Unrolled over old-beam index i; only 2D [B, beam] tensors (Mosaic
+    # rejects [B, i, j] middle-axis broadcasts).
+    eqs = []  # eqs[i][b, j]: new beams i and j carry identical sequences
+    for i in range(beam):
+        same = (new_tokens == new_tokens[:, i:i + 1, :]) | \
+            (cols >= new_n[:, :, None])
+        # bool all-reduce misfires in Mosaic: reduce in int32 instead
+        all_same = jnp.min(same.astype(jnp.int32), axis=-1) == 1
+        eqs.append(all_same & (new_n == new_n[:, i:i + 1]))   # [B, beam(j)]
+    # canon[b, j] = min{i <= j : eqs[i]} (diagonal always true)
+    j_self = jax.lax.broadcasted_iota(jnp.int32, (b, beam), 1)
+    canon = j_self
+    for i in reversed(range(beam)):
+        canon = jnp.where(eqs[i] & (i <= j_self), i, canon)
+    is_canon = canon == j_self
+    # merged[b, i] = logsumexp over {j : canon[b, j] == i} of top_scores
+    merged_cols = []
+    for i in range(beam):
+        vals = jnp.where(canon == i, top_scores, f32(NEG_INF))
+        mloc = jnp.max(vals, axis=-1, keepdims=True)          # [B, 1]
+        ssum = jnp.sum(jnp.exp(vals - mloc), axis=-1, keepdims=True)
+        merged_cols.append(mloc + jnp.log(ssum))
+    merged = jnp.concatenate(merged_cols, axis=1)             # [B, beam]
+    new_logp = jnp.where(is_canon, merged, f32(NEG_INF))
+
+    # ---- frames past each chunk's valid length are no-ops ---------------
+    lens2 = lens_ref[...] + jnp.zeros((b, beam), jnp.int32)   # [B, beam]
+    valid = t < lens2
+    valid3 = t < lens2[:, :, None]
+
+    def upd(ref, new, old):
+        ref[...] = jnp.where(valid3 if new.ndim == 3 else valid, new, old)
+
+    upd(tokens_ref, new_tokens, tokens_ref[...])
+    upd(frames_ref, new_frames, frames_ref[...])
+    upd(tok_logp_ref, new_tok_logp, tok_logp_ref[...])
+    upd(ent_ref, new_ent, ent_ref[...])
+    upd(n_emit_ref, new_n, n_emit_ref[...])
+    upd(logp_ref, new_logp, logp_ref[...])
+    e0_ref[...] = jnp.where(valid3, new_e0,
+                            e0_ref[...].reshape(b, beam, d)).reshape(
+        b * beam, d)
+    e1_ref[...] = jnp.where(valid3, new_e1,
+                            e1_ref[...].reshape(b, beam, d)).reshape(
+        b * beam, d)
+
+
+@partial(jax.jit, static_argnames=("cfg", "beam_size", "interpret"))
+def beam_search_batch_pallas(enc_out, enc_lens, dec_params, joi_params,
+                             cfg: RnntConfig, beam_size: int = 8,
+                             interpret: bool = False) -> BeamResult:
+    """Pallas megakernel variant of beam_search_batch (no hotword support).
+
+    enc_out: [N, T, E] float32; enc_lens: [N] int32. Returns BeamResult with
+    the same shapes/semantics as the XLA path.
+    """
+    b, t_max, _e = enc_out.shape
+    u = t_max
+    v = cfg.vocab_size
+    beam = beam_size
+    f32 = jnp.float32
+
+    w0, w1 = _dense_decoder_weights(dec_params, cfg)
+    emb = dec_params["embedding"].astype(f32)
+    emb_hi = emb.astype(jnp.bfloat16)
+    r1 = emb - emb_hi.astype(f32)
+    emb_mid = r1.astype(jnp.bfloat16)
+    emb_lo = (r1 - emb_mid.astype(f32)).astype(jnp.bfloat16)
+    wdp = joi_params["decoder_proj"]["weight"].astype(f32)
+    bdp = joi_params["decoder_proj"]["bias"].astype(f32)[None, :]
+    we = joi_params["encoder_proj"]["weight"].astype(f32)
+    be = joi_params["encoder_proj"]["bias"].astype(f32)[None, :]
+    wo = joi_params["output"]["weight"].astype(f32)
+    bo = joi_params["output"]["bias"].astype(f32)[None, :]
+    d = emb.shape[1]
+
+    kernel = partial(_beam_kernel, b=b, beam=beam, u=u, v=v,
+                     blank_id=cfg.blank_id)
+    out_shapes = [
+        jax.ShapeDtypeStruct((b, beam, u), jnp.int32),    # tokens
+        jax.ShapeDtypeStruct((b, beam, u), jnp.int32),    # frames
+        jax.ShapeDtypeStruct((b, beam, u), f32),          # tok_logp
+        jax.ShapeDtypeStruct((b, beam, 4 * u), f32),      # entropy
+        jax.ShapeDtypeStruct((b, beam), jnp.int32),       # n_emit
+        jax.ShapeDtypeStruct((b, beam), f32),             # logp
+    ]
+    tokens, frames, tok_logp, ent, n_emit, logp = pl.pallas_call(
+        kernel,
+        grid=(t_max,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # lens [B,1]
+            pl.BlockSpec((1, b, enc_out.shape[2]),
+                         lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # emb_hi
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # emb_mid
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # emb_lo
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # w0
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # w1
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # wdp
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # bdp
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # we
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # be
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # wo
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # bo
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)
+                   for _ in out_shapes],
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((b * beam, d), f32),                   # e0
+            pltpu.VMEM((b * beam, d), f32),                   # e1
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t_max * b * beam * d * (2 * d + v + d)
+            + 2 * t_max * b * beam * v * 8,
+            bytes_accessed=t_max * (4 * (v * d + d * d * 2 + d * v)
+                                    + b * beam * u * 4 * 7),
+            transcendentals=t_max * b * beam * v * 4,
+        ),
+    )(enc_lens.astype(jnp.int32).reshape(b, 1),
+      jnp.swapaxes(enc_out.astype(f32), 0, 1),  # [T, B, E] for (1,B,E) blocks
+      emb_hi, emb_mid, emb_lo, w0, w1, wdp, bdp, we, be, wo, bo)
+
+    # Final selection — identical to the XLA path (length-normalized).
+    norm = jnp.maximum(n_emit + cfg.context_size, 1).astype(f32)
+    best = jnp.argmax(logp / norm, axis=1)                    # [B]
+    take = lambda a: jnp.take_along_axis(
+        a, best.reshape(b, *([1] * (a.ndim - 1))), axis=1)[:, 0]
+    ent4 = ent.reshape(b, beam, 4, u)
+    return BeamResult(
+        tokens=take(tokens), frames=take(frames), tok_logp=take(tok_logp),
+        entropy=jnp.swapaxes(take(ent4), -1, -2),             # [B, U, 4]
+        num_tokens=take(n_emit), total_logp=take(logp))

@@ -45,38 +45,48 @@ def fbank_batch_jit(audio, use_pallas_fbank=False, quantized=False):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("zip_cfg", "rnnt_cfg", "beam_size", "with_hotwords"),
+    static_argnames=("zip_cfg", "rnnt_cfg", "beam_size", "with_hotwords",
+                     "use_pallas_beam"),
 )
 def decode_feats_jit(feats, n_frames, enc_params, dec_params, joi_params,
                      zip_cfg, rnnt_cfg, beam_size, hw_tables=None,
-                     with_hotwords=False):
+                     with_hotwords=False, use_pallas_beam=False):
     """[B, F, 80] fbank -> (BeamResult, enc_lens)."""
     enc_out, enc_lens = zipformer_encoder(enc_params, feats, n_frames, zip_cfg)
-    result = beam_search_batch(enc_out, enc_lens, dec_params, joi_params,
-                               rnnt_cfg, beam_size=beam_size,
-                               hw_tables=hw_tables,
-                               with_hotwords=with_hotwords)
+    if use_pallas_beam and not with_hotwords and beam_size >= 4:
+        # Single-megakernel scan: ~1.5x the XLA path on hardware and
+        # token-faithful to the exact f32 algorithm (ops/beam_search_pallas).
+        from sherpa_vietnamese_asr_tpu.ops.beam_search_pallas import (
+            beam_search_batch_pallas,
+        )
+        result = beam_search_batch_pallas(enc_out, enc_lens, dec_params,
+                                          joi_params, rnnt_cfg,
+                                          beam_size=beam_size)
+    else:
+        result = beam_search_batch(enc_out, enc_lens, dec_params, joi_params,
+                                   rnnt_cfg, beam_size=beam_size,
+                                   hw_tables=hw_tables,
+                                   with_hotwords=with_hotwords)
     return result, enc_lens
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("zip_cfg", "rnnt_cfg", "beam_size", "with_hotwords",
-                     "use_pallas_fbank"),
+                     "use_pallas_fbank", "use_pallas_beam"),
 )
 def decode_batch_jit(audio, audio_lens, enc_params, dec_params, joi_params,
                      zip_cfg, rnnt_cfg, beam_size, hw_tables=None,
-                     with_hotwords=False, use_pallas_fbank=False):
+                     with_hotwords=False, use_pallas_fbank=False,
+                     use_pallas_beam=False):
     """[B, L] padded audio -> (BeamResult, enc_lens). One compiled program."""
     feats = fbank_ops.compute_fbank(audio, ASR_FBANK,
                                     use_pallas=use_pallas_fbank)
     n_frames = (audio_lens + 80) // 160  # snip_edges=False frame count
-    enc_out, enc_lens = zipformer_encoder(enc_params, feats, n_frames, zip_cfg)
-    result = beam_search_batch(enc_out, enc_lens, dec_params, joi_params,
-                               rnnt_cfg, beam_size=beam_size,
-                               hw_tables=hw_tables,
-                               with_hotwords=with_hotwords)
-    return result, enc_lens
+    return decode_feats_jit(feats, n_frames, enc_params, dec_params,
+                            joi_params, zip_cfg, rnnt_cfg, beam_size,
+                            hw_tables=hw_tables, with_hotwords=with_hotwords,
+                            use_pallas_beam=use_pallas_beam)
 
 
 class BatchedChunkDecoder:
@@ -119,6 +129,10 @@ class BatchedChunkDecoder:
         if use_pallas_fbank is None:
             use_pallas_fbank = jax.default_backend() not in ("cpu",)
         self.use_pallas_fbank = use_pallas_fbank
+        # Pallas beam-search megakernel: TPU-only (Mosaic), no hotword
+        # support, not sharded — single-device decode only.
+        self.use_pallas_beam = (jax.default_backend() not in ("cpu",)
+                                and mesh is None)
         if transfer_dtype is None:
             # float32 by default: int16 halves upload bytes (~0.4 s per
             # 4 min of audio on the ~20 MB/s tunnel) but perturbs log-mel
@@ -204,6 +218,7 @@ class BatchedChunkDecoder:
                     model.zip_cfg, model.rnnt_cfg, model.beam_size,
                     hw_tables=model.hotword_tables,
                     with_hotwords=model.hotword_tables is not None,
+                    use_pallas_beam=self.use_pallas_beam,
                 )
                 sink.extend(self._words_from_result(result, enc_lens, group,
                                                     model))
