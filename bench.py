@@ -61,23 +61,25 @@ def main():
     batches = [mk_batch() for _ in range(n_batches + 1)]
     lens = jnp.asarray(np.full((batch,), n, np.int32))
 
-    def step(audio):
+    def launch(audio):
         # Same two jitted programs the production pipeline uses
         # (pipeline/decoder.py), so the compile cache is shared.
         feats = fbank_batch_jit(audio, use_pallas_fbank=on_tpu)
         n_frames = (lens + 80) // 160
         result, enc_lens = decode_feats_jit(
             feats, n_frames, model.enc_params, model.dec_params,
-            model.joi_params, model.zip_cfg, model.rnnt_cfg, model.beam_size)
-        # Materialize on host — robust barrier on experimental backends.
-        return int(np.asarray(result.num_tokens).sum())
+            model.joi_params, model.zip_cfg, model.rnnt_cfg, model.beam_size,
+            use_pallas_beam=on_tpu)
+        return result
 
-    step(batches[0])  # warmup / compile
+    np.asarray(launch(batches[0]).num_tokens)  # warmup / compile
 
     t0 = time.perf_counter()
-    total_tokens = 0
-    for i in range(n_batches):
-        total_tokens += step(batches[i + 1])
+    # Pipelined: enqueue every batch (JAX async dispatch), then materialize —
+    # overlaps the per-dispatch host<->device round trip with device compute,
+    # exactly like the production decoder's two-phase decode_spans.
+    results = [launch(batches[i + 1]) for i in range(n_batches)]
+    total_tokens = sum(int(np.asarray(r.num_tokens).sum()) for r in results)
     dt = time.perf_counter() - t0
     assert total_tokens > 0
 

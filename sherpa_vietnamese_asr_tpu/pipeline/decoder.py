@@ -187,12 +187,13 @@ class BatchedChunkDecoder:
         rover = self.model_b is not None
         out_a, out_b = [], []
         total = len(spans)
-        for base in range(0, total, self.max_batch):
-            if cancel_check is not None and cancel_check():
-                raise RuntimeError("Cancelled by user")
+        models = [self.model] + ([self.model_b] if rover else [])
+
+        def launch(base):
             group = spans[base: base + self.max_batch]
             # Keep the batch dimension static: pad the last group.
-            padded_group = list(group) + [(0, 1)] * (self.max_batch - len(group))
+            padded_group = list(group) + [(0, 1)] * (self.max_batch
+                                                     - len(group))
             audio, lens = self._build_batch(concat_audio, padded_group)
             quantized = self.transfer_dtype == "int16"
             if quantized:
@@ -210,20 +211,41 @@ class BatchedChunkDecoder:
             feats = fbank_batch_jit(audio_dev,
                                     use_pallas_fbank=self.use_pallas_fbank,
                                     quantized=quantized)
-            models = [self.model] + ([self.model_b] if rover else [])
-            for model, sink in zip(models, (out_a, out_b)):
-                result, enc_lens = decode_feats_jit(
+            launched = []
+            for model in models:
+                launched.append(decode_feats_jit(
                     feats, n_frames,
                     model.enc_params, model.dec_params, model.joi_params,
                     model.zip_cfg, model.rnnt_cfg, model.beam_size,
                     hw_tables=model.hotword_tables,
                     with_hotwords=model.hotword_tables is not None,
                     use_pallas_beam=self.use_pallas_beam,
-                )
+                ))
+            return group, launched
+
+        def collect(group, launched):
+            for (result, enc_lens), model, sink in zip(launched, models,
+                                                       (out_a, out_b)):
                 sink.extend(self._words_from_result(result, enc_lens, group,
                                                     model))
+
+        # Two-phase pipelined decode: keep up to `depth` batches in flight
+        # (JAX async dispatch) so the per-dispatch host<->device round trip
+        # (~31 ms on tunneled backends) and the host-side batch build overlap
+        # with device compute, instead of serializing per batch.
+        depth = 3
+        bases = list(range(0, total, self.max_batch))
+        inflight = []
+        for base in bases:
+            if cancel_check is not None and cancel_check():
+                raise RuntimeError("Cancelled by user")
+            inflight.append(launch(base))
+            if len(inflight) > depth:
+                collect(*inflight.pop(0))
             if progress_callback:
                 done = min(base + self.max_batch, total)
                 progress_callback(
                     f"PHASE:{phase}|Decoding chunks|{done * 100 // total}")
+        for item in inflight:
+            collect(*item)
         return (out_a, out_b) if rover else out_a

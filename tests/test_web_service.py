@@ -304,3 +304,95 @@ def test_ws_stream_live_transcription(service):
     sock.close()
     assert partials, "expected at least one partial"
     assert finals and isinstance(finals[0], str)
+
+
+def test_queue_position_pushed_to_second_client(service):
+    """A second queued upload sees its queue position arrive PUSH-style over
+    /ws — position 2 while another job is ahead of it, then 1 when that job
+    starts (reference web_service/queue_manager.py:183-239 +
+    session_manager.py WebSocketManager broadcast)."""
+    import base64
+    import socket
+    import struct
+    import tempfile
+
+    from sherpa_vietnamese_asr_tpu.utils.audio_io import write_wav
+
+    base, state = service
+    _, s = _req(base, "/api/session", "POST")
+    H = {"X-Session-Id": s["session_id"]}
+
+    # open a push socket on /ws for this session
+    host, port = base.replace("http://", "").split(":")
+    sock = socket.create_connection((host, int(port)), timeout=30)
+    key = base64.b64encode(b"fedcba9876543210").decode()
+    sock.sendall((f"GET /ws HTTP/1.1\r\nHost: {host}\r\n"
+                  "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                  f"Sec-WebSocket-Key: {key}\r\n"
+                  f"X-Session-Id: {s['session_id']}\r\n"
+                  "Sec-WebSocket-Version: 13\r\n\r\n").encode())
+    buf = b""
+    while b"\r\n\r\n" not in buf:
+        buf += sock.recv(1024)
+    assert b"101" in buf.split(b"\r\n", 1)[0]
+
+    def read_events(deadline_sec=10.0):
+        sock.settimeout(deadline_sec)
+        head = sock.recv(2)
+        if len(head) < 2:
+            return None
+        ln = head[1] & 0x7F
+        if ln == 126:
+            ln = struct.unpack(">H", sock.recv(2))[0]
+        payload = b""
+        while len(payload) < ln:
+            payload += sock.recv(ln - len(payload))
+        return json.loads(payload.decode())
+
+    # pause the queue, enqueue two files -> both adds broadcast positions
+    state.queue.pause()
+    try:
+        fids = []
+        for name in ("q1.wav", "q2.wav"):
+            with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+                write_wav(f.name, np.zeros(8000, np.float32))
+                wav = open(f.name, "rb").read()
+            _, up = _req(base, "/api/upload", "POST",
+                         headers={**H, "X-Filename": name}, raw=wav)
+            fids.append(up["file_id"])
+            status, pr = _req(base, f"/api/process/{fids[-1]}", "POST",
+                              body={}, headers=H)
+            assert status == 200
+        assert pr["queue_position"] == 2  # second upload is behind the first
+
+        # the paused adds already pushed position events for file 2
+        seen = {}
+        for _ in range(8):
+            ev = read_events()
+            if ev and ev.get("type") == "queue_position":
+                seen.setdefault(ev["file_id"], []).append(ev["position"])
+            if 2 in seen.get(fids[1], []):
+                break
+        assert 2 in seen.get(fids[1], []), seen
+    finally:
+        state.queue.resume()
+    state.queue.process_next()
+
+    # when file 1 starts processing, file 2's position drops to 1 — pushed,
+    # not polled
+    for _ in range(20):
+        ev = read_events()
+        if (ev and ev.get("type") == "queue_position"
+                and ev["file_id"] == fids[1] and ev["position"] == 1):
+            break
+    else:
+        raise AssertionError("no pushed position-1 update for second file")
+    sock.close()
+
+    # drain: wait for both to finish so later tests see an idle queue
+    for fid in fids:
+        for _ in range(200):
+            _, st = _req(base, f"/api/files/{fid}/status", headers=H)
+            if st["status"] in ("completed", "error"):
+                break
+            time.sleep(0.05)
