@@ -28,6 +28,38 @@ POWERSET_MAP = np.array([
     [1, 1, 0], [1, 0, 1], [0, 1, 1]], dtype=np.float32)
 
 
+_window_block_cache = {}
+
+
+def _campp_window_block(params, feat_block, starts, lens, cfg, w_frames):
+    """[F_MAX, 80] packed region fbank + [W] window starts/lens ->
+    [W, embed_dim] CAM++ embeddings. The overlapped 1.5 s window views are
+    gathered in-graph so each fbank frame is uploaded once (vs 2.5x with
+    per-window batches)."""
+    fn = _window_block_cache.get("fn")
+    if fn is None:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        from sherpa_vietnamese_asr_tpu.models.campplus import campp_embed
+
+        @functools.partial(jax.jit, static_argnames=("cfg", "w_frames"))
+        def fn(params, feat_block, starts, lens, cfg, w_frames):
+            idx = starts[:, None] + jnp.arange(w_frames)[None, :]
+            feats = feat_block[idx]                        # [W, w, 80]
+            mask = (jnp.arange(w_frames)[None, :]
+                    < lens[:, None]).astype(jnp.float32)
+            # Zero the padded tail so convolutions see the same zeros as
+            # the classic zero-padded per-window batch path.
+            feats = feats * mask[:, :, None]
+            return campp_embed(params, feats, cfg, mask=mask)
+
+        _window_block_cache["fn"] = fn
+    return fn(params, feat_block, starts, lens, cfg, w_frames)
+
+
 def cosine_similarity(x, y=None):
     if y is None:
         y = x
@@ -187,6 +219,9 @@ class SenkoCamppDiarizer:
         self.step = step
         self.min_duration_off = min_duration_off
         self.batch_size = batch_size
+        # Fused-block geometry (tests shrink these to force block flushes).
+        self.block_frames = 6144
+        self.block_windows = 128
         self._last_overlap_regions = []
 
     @property
@@ -272,16 +307,22 @@ class SenkoCamppDiarizer:
     # -- embeddings --------------------------------------------------------------
     def _sliding_window_embeddings(self, audio, speech_regions,
                                    progress_callback=None):
+        """Fused superblock scheme (same idea as diarization_pure's
+        `_superblock_jit`): the 1.5 s / 0.6 s windows overlap 2.5x, so
+        uploading per-window fbank re-sends every frame 2.5x over the slow
+        host->device link. Instead each region's fbank is packed ONCE into a
+        fixed [F_MAX, 80] block and the overlapped window views are gathered
+        in-graph (`_campp_window_block`), so the program compiles once and
+        each frame is uploaded once."""
         import jax.numpy as jnp
 
         from sherpa_vietnamese_asr_tpu.ops import fbank as fbank_ops
-        from sherpa_vietnamese_asr_tpu.pipeline.overlap import _campp_jit
         from sherpa_vietnamese_asr_tpu.utils.fbank_ref import CAMPP_FBANK
 
         window_frames = int(self.window * 100)  # 150 for 1.5 s
         step_frames = int(self.step * 100)
 
-        slices = []  # (fbank_slice, start_sec, end_sec)
+        regions = []  # (region_fbank, [(pos, wlen, ws, we), ...])
         for rs, re_ in speech_regions:
             s0 = int(rs * SAMPLE_RATE)
             e0 = min(int(re_ * SAMPLE_RATE), len(audio))
@@ -295,44 +336,80 @@ class SenkoCamppDiarizer:
             nf = region_fbank.shape[0]
             if nf < 10:
                 continue
+            wins = []
             if nf < window_frames:
-                slices.append((region_fbank, rs, re_))
+                wins.append((0, nf, rs, re_))
             else:
                 pos = 0
                 while pos + window_frames < nf:
                     ws = rs + pos * 0.01
-                    slices.append((region_fbank[pos: pos + window_frames],
-                                   ws, ws + self.window))
+                    wins.append((pos, window_frames, ws, ws + self.window))
                     pos += step_frames
                 tail = max(0, nf - window_frames)
                 ws = rs + tail * 0.01
-                slices.append((region_fbank[tail: tail + window_frames],
-                               ws, ws + self.window))
-        if not slices:
+                wins.append((tail, window_frames, ws, ws + self.window))
+            regions.append((region_fbank, wins))
+        if not regions:
             return np.empty((0, self.campp_cfg.embed_dim), np.float32), []
 
+        f_max, w_slots = self.block_frames, self.block_windows
+        total_windows = sum(len(w) for _, w in regions)
+
+        blocks = []  # (feat_block, starts, lens, [(ws, we), ...])
+        feat = np.zeros((f_max, 80), np.float32)
+        starts, lens, times_blk = [], [], []
+        rows = 0
+
+        def flush():
+            nonlocal feat, starts, lens, times_blk, rows
+            if times_blk:
+                st = np.zeros((w_slots,), np.int32)
+                ln = np.ones((w_slots,), np.int32)  # dummies: 1 valid frame
+                st[:len(starts)] = starts
+                ln[:len(lens)] = lens
+                blocks.append((feat, st, ln, list(times_blk)))
+            feat = np.zeros((f_max, 80), np.float32)
+            starts, lens, times_blk = [], [], []
+            rows = 0
+
+        for fb, wins in regions:
+            i = 0
+            while i < len(wins):
+                if len(starts) >= w_slots or \
+                        rows + wins[i][1] > f_max:
+                    flush()
+                base = wins[i][0]
+                # take every window whose span fits in the remaining rows
+                j, end = i, base
+                while (j < len(wins) and len(starts) + (j - i) < w_slots
+                        and wins[j][0] + wins[j][1] <= base + (f_max - rows)):
+                    end = max(end, wins[j][0] + wins[j][1])
+                    j += 1
+                seg = fb[base:end]
+                feat[rows: rows + len(seg)] = seg
+                for k in range(i, j):
+                    pos, wlen, ws, we = wins[k]
+                    starts.append(rows + pos - base)
+                    lens.append(wlen)
+                    times_blk.append((ws, we))
+                rows += len(seg)
+                i = j
+        flush()
+
         embeddings, times = [], []
-        bsz = self.batch_size
-        pad_frames = window_frames
-        for b in range(0, len(slices), bsz):
-            group = slices[b: b + bsz]
-            feats = np.zeros((bsz, pad_frames, 80), np.float32)
-            mask = np.zeros((bsz, pad_frames), np.float32)
-            for i, (fb, _, _) in enumerate(group):
-                k = min(fb.shape[0], pad_frames)
-                feats[i, :k] = fb[:k]
-                mask[i, :k] = 1.0
-            embs = np.asarray(_campp_jit(self.campp_params,
-                                         jnp.asarray(feats),
-                                         jnp.asarray(mask), self.campp_cfg))
-            for i, (_, ws, we) in enumerate(group):
+        done = 0
+        for feat_b, st, ln, tb in blocks:
+            embs = np.asarray(_campp_window_block(
+                self.campp_params, jnp.asarray(feat_b), jnp.asarray(st),
+                jnp.asarray(ln), self.campp_cfg, window_frames))
+            for i, (ws, we) in enumerate(tb):
                 e = embs[i]
                 n = np.linalg.norm(e)
                 embeddings.append(e / n if n > 1e-10 else e)
                 times.append((ws, we))
+            done += len(tb)
             if progress_callback:
-                progress_callback(30 + 50 * min(b + bsz, len(slices))
-                                  / len(slices))
+                progress_callback(30 + 50 * done / max(total_windows, 1))
         return np.stack(embeddings), times
 
     def _segments_from_labels(self, window_times, labels):

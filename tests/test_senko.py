@@ -95,3 +95,70 @@ def test_segments_from_labels_merging():
     assert len(segs) == 3
     assert segs[0] == {"start": 0.0, "end": 2.1, "speaker": 0}
     assert segs[1]["speaker"] == 1
+
+
+def test_fused_window_blocks_match_classic_batches(rng):
+    """The fused superblock path (region fbank uploaded once, overlapped
+    window views gathered in-graph) must produce the same embeddings as
+    computing each zero-padded window with a direct CAM++ call — including
+    across forced block flushes (shrunken block geometry)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sherpa_vietnamese_asr_tpu.models.campplus import (
+        TINY_CAMPP, campp_embed, init_campp_params,
+    )
+    from sherpa_vietnamese_asr_tpu.ops import fbank as fbank_ops
+    from sherpa_vietnamese_asr_tpu.pipeline.diarization_senko import (
+        SAMPLE_RATE, SenkoCamppDiarizer,
+    )
+    from sherpa_vietnamese_asr_tpu.utils.fbank_ref import CAMPP_FBANK
+
+    d = SenkoCamppDiarizer.__new__(SenkoCamppDiarizer)
+    d.campp_cfg = TINY_CAMPP
+    d.campp_params = init_campp_params(jax.random.PRNGKey(5), TINY_CAMPP)
+    d.window, d.step = 1.5, 0.6
+    d.batch_size = 8
+    # Tiny blocks: a few hundred frames / 4 window slots force many flushes.
+    d.block_frames, d.block_windows = 400, 4
+
+    sr = SAMPLE_RATE
+    t = np.arange(sr * 9) / sr
+    audio = (0.25 * np.sin(2 * np.pi * 300 * t)
+             + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
+    # region 2 is shorter than one window (short-window mask path)
+    regions = [(0.5, 4.9), (5.2, 8.4), (8.5, 9.0)]
+
+    embs, times = d._sliding_window_embeddings(audio, regions)
+    assert len(times) == embs.shape[0] > 4
+
+    # classic oracle: per-window zero-padded batch of 1
+    w_frames = int(d.window * 100)
+    k = 0
+    for rs, re_ in regions:
+        s0, e0 = int(rs * sr), min(int(re_ * sr), len(audio))
+        fb = fbank_ops.compute_fbank_streamed(audio[s0:e0], CAMPP_FBANK)
+        nf = fb.shape[0]
+        wins = []
+        if nf < w_frames:
+            wins.append((0, nf))
+        else:
+            pos = 0
+            while pos + w_frames < nf:
+                wins.append((pos, w_frames))
+                pos += int(d.step * 100)
+            wins.append((nf - w_frames, w_frames))
+        for pos, wlen in wins:
+            feats = np.zeros((1, w_frames, 80), np.float32)
+            mask = np.zeros((1, w_frames), np.float32)
+            feats[0, :wlen] = fb[pos: pos + wlen]
+            mask[0, :wlen] = 1.0
+            ref = np.asarray(campp_embed(
+                d.campp_params, jnp.asarray(feats), TINY_CAMPP,
+                mask=jnp.asarray(mask)))[0]
+            n = np.linalg.norm(ref)
+            ref = ref / n if n > 1e-10 else ref
+            np.testing.assert_allclose(embs[k], ref, atol=2e-4,
+                                       err_msg=f"window {k}")
+            k += 1
+    assert k == embs.shape[0]
