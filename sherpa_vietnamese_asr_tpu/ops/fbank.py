@@ -91,15 +91,45 @@ def _frame_signal(audio: jax.Array, cfg: FbankConfig) -> jax.Array:
     """
     n = audio.shape[-1]
     f = num_frames(n, cfg)
-    starts = jnp.arange(f, dtype=jnp.int32) * cfg.frame_shift
-    if not cfg.snip_edges:
-        starts = starts + (cfg.frame_shift // 2 - cfg.frame_length // 2)
-    idx = starts[:, None] + jnp.arange(cfg.frame_length, dtype=jnp.int32)
-    if not cfg.snip_edges:
+    shift, wlen = cfg.frame_shift, cfg.frame_length
+    start0 = 0 if cfg.snip_edges else shift // 2 - wlen // 2
+    pad_left = max(0, -start0)
+    if (pad_left + start0) % shift == 0 and n >= wlen:
+        # Strided framing as pure slices: a [.., F, 400] take-gather costs
+        # several ms per 8x33 s batch on TPU (gathers along the minor axis
+        # are pathological); with shift | alignment the same frames are a
+        # reshape into shift-sized rows plus ceil(wlen/shift) shifted row
+        # views concatenated along the last axis — memcpy-speed.
+        nrows = -(-wlen // shift)
+        rows_needed = f + nrows
+        # frame 0 begins at padded-index 0 (pad_left + start0 == 0), so the
+        # row grid covers the left pad too
+        total = rows_needed * shift
+        pieces = []
+        if pad_left:
+            # Kaldi edge reflection: sample at index -k-1 is audio[k]
+            pieces.append(jnp.flip(audio[..., :pad_left], axis=-1))
+        pieces.append(audio)
+        pad_right = total - pad_left - n
+        if pad_right > 0:
+            k = min(pad_right, n)
+            tail = jnp.flip(audio[..., n - k:], axis=-1)
+            if k < pad_right:  # beyond one reflection: never read
+                widths = [(0, 0)] * (audio.ndim - 1) + [(0, pad_right - k)]
+                tail = jnp.pad(tail, widths)
+            pieces.append(tail)
+        ap = jnp.concatenate(pieces, axis=-1) if len(pieces) > 1 else audio
+        r2d = ap.reshape(*audio.shape[:-1], rows_needed, shift)
+        frames = jnp.concatenate(
+            [r2d[..., i: i + f, :] for i in range(nrows)],
+            axis=-1)[..., :wlen]
+    else:
+        starts = jnp.arange(f, dtype=jnp.int32) * shift + start0
+        idx = starts[:, None] + jnp.arange(wlen, dtype=jnp.int32)
         # Kaldi reflection; one step suffices for frame_length << n.
         idx = jnp.where(idx < 0, -idx - 1, idx)
         idx = jnp.where(idx >= n, 2 * n - 1 - idx, idx)
-    frames = jnp.take(audio, idx, axis=-1)  # [..., F, frame_length]
+        frames = jnp.take(audio, idx, axis=-1)  # [..., F, frame_length]
     if cfg.input_scale != 1.0:
         frames = frames * jnp.float32(cfg.input_scale)
     if cfg.remove_dc:
@@ -117,19 +147,33 @@ def _frame_signal(audio: jax.Array, cfg: FbankConfig) -> jax.Array:
 
 
 def _logmel_kernel(frames_ref, wc_ref, ws_ref, mel_ref, floor_ref, out_ref):
-    # HIGHEST precision: the DFT suffers catastrophic cancellation and the
-    # MXU's default bf16 passes corrupt low-energy mel bins (log amplifies).
-    def dot32(a, b):
+    # Precision: the DFT suffers catastrophic cancellation, and a single
+    # default bf16 MXU pass corrupts low-energy mel bins by >1 in log-mel
+    # (log amplifies). Full HIGHEST (6-pass) is overkill though — a 3-pass
+    # hi/lo bf16 split (a_hi@b_hi + a_hi@b_lo + a_lo@b_hi) carries ~16
+    # mantissa bits, measured max log-mel error vs the f64 oracle well
+    # inside the 2e-2 hardware gate. The mel projection contracts
+    # NON-NEGATIVE power with non-negative filters (no cancellation), so a
+    # single bf16 pass suffices there. 18 MXU passes -> 7.
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+
+    def dg(a, b):
         return jax.lax.dot_general(
-            a, b, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+
+    def dot3(a, b):
+        a_hi = a.astype(bf16)
+        a_lo = (a - a_hi.astype(f32)).astype(bf16)
+        b_hi = b.astype(bf16)
+        b_lo = (b - b_hi.astype(f32)).astype(bf16)
+        return dg(a_hi, b_hi) + dg(a_hi, b_lo) + dg(a_lo, b_hi)
 
     x = frames_ref[:]
-    c = dot32(x, wc_ref[:])
-    s = dot32(x, ws_ref[:])
+    c = dot3(x, wc_ref[:])
+    s = dot3(x, ws_ref[:])
     power = c * c + s * s
-    mel = dot32(power, mel_ref[:])
+    mel = dg(power.astype(bf16), mel_ref[:].astype(bf16))
     out_ref[:] = jnp.log(jnp.maximum(mel, floor_ref[0]))
 
 

@@ -61,7 +61,12 @@ def test_batched_fbank_matches_single(rng):
 
 
 def test_pallas_kernel_interpret_matches_xla(rng):
-    """Pallas kernel (interpret mode on CPU) == XLA path."""
+    """Pallas kernel (interpret mode on CPU) ~= XLA path.
+
+    The kernel intentionally runs the DFT as a 3-pass bf16 hi/lo split and
+    the mel projection in one bf16 pass (ops/fbank.py _logmel_kernel), so
+    its numerics differ from the HIGHEST-precision XLA path by up to ~1e-2
+    in log-mel — the same 2e-2 gate the hardware spot-check uses."""
     import jax
     from jax.experimental.pallas import tpu as pltpu
 
@@ -71,7 +76,7 @@ def test_pallas_kernel_interpret_matches_xla(rng):
     with pltpu.force_tpu_interpret_mode():
         got_pallas = np.asarray(jfb.compute_fbank(audio, ASR_FBANK, use_pallas=True))
     got_xla = np.asarray(jfb.compute_fbank(audio, ASR_FBANK, use_pallas=False))
-    assert np.max(np.abs(got_pallas - got_xla)) < 1e-3
+    assert np.max(np.abs(got_pallas - got_xla)) < 2e-2
 
 
 def test_mel_bank_properties():
