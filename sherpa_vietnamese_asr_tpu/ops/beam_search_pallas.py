@@ -71,7 +71,8 @@ def _beam_kernel(lens_ref, enc_ref, emb_hi_ref, emb_mid_ref,
                  tokens_ref, frames_ref, tok_logp_ref, ent_ref,
                  n_emit_ref, logp_ref,
                  e0_ref, e1_ref,
-                 *, b: int, beam: int, u: int, v: int, blank_id: int):
+                 *, b: int, beam: int, u: int, v: int, blank_id: int,
+                 fast_dots: bool):
     t = pl.program_id(0)
     f32 = jnp.float32
 
@@ -93,24 +94,33 @@ def _beam_kernel(lens_ref, enc_ref, emb_hi_ref, emb_mid_ref,
         e1_ref[...] = e0_ref[...]
 
     # ---- joiner logits for every (chunk, beam) --------------------------
+    # Dot precision tracks the model's serving mode: fp32 mode keeps
+    # 6-pass HIGHEST (token-identical to the exact-f32 oracle); bf16
+    # serving mode — already documented as not bit-stable vs fp32 — uses a
+    # 3-pass hi/lo split (~16 mantissa bits), halving the MXU passes the
+    # kernel is bound by.
+    if fast_dots:
+        def dot(a, bm):
+            a_hi = a.astype(jnp.bfloat16)
+            a_lo = (a - a_hi.astype(f32)).astype(jnp.bfloat16)
+            b_hi = bm.astype(jnp.bfloat16)
+            b_lo = (bm - b_hi.astype(f32)).astype(jnp.bfloat16)
+            dg = lambda p, q: jnp.dot(p, q, preferred_element_type=f32)
+            return dg(a_hi, b_hi) + dg(a_hi, b_lo) + dg(a_lo, b_hi)
+    else:
+        def dot(a, bm):
+            return jnp.dot(a, bm, preferred_element_type=f32,
+                           precision=jax.lax.Precision.HIGHEST)
     enc_t = enc_ref[0, :, :].astype(f32)                     # [B, E]
-    e_j = jnp.dot(enc_t, we_ref[...],
-                  preferred_element_type=f32,
-                  precision=jax.lax.Precision.HIGHEST) + be_ref[...]  # [B, J]
+    e_j = dot(enc_t, we_ref[...]) + be_ref[...]              # [B, J]
     dec_in0 = e0_ref[...]                                    # [B*beam, D]
     dec_in1 = e1_ref[...]
-    d0 = jnp.dot(dec_in0, w0_ref[...], preferred_element_type=f32,
-                 precision=jax.lax.Precision.HIGHEST)
-    d0 = d0 + jnp.dot(dec_in1, w1_ref[...], preferred_element_type=f32,
-                      precision=jax.lax.Precision.HIGHEST)
+    d0 = dot(dec_in0, w0_ref[...]) + dot(dec_in1, w1_ref[...])
     dec_out = jnp.maximum(d0, 0.0)                           # [B*beam, D]
-    d_j = jnp.dot(dec_out, wdp_ref[...], preferred_element_type=f32,
-                  precision=jax.lax.Precision.HIGHEST) + bdp_ref[...]
+    d_j = dot(dec_out, wdp_ref[...]) + bdp_ref[...]
     j_dim = d_j.shape[-1]
     h = jnp.tanh(d_j.reshape(b, beam, j_dim) + e_j[:, None, :])
-    logits = jnp.dot(h.reshape(b * beam, j_dim), wo_ref[...],
-                     preferred_element_type=f32,
-                     precision=jax.lax.Precision.HIGHEST) + bo_ref[...]
+    logits = dot(h.reshape(b * beam, j_dim), wo_ref[...]) + bo_ref[...]
 
     m0 = jnp.max(logits, axis=-1, keepdims=True)
     z = logits - m0
@@ -268,10 +278,12 @@ def _beam_kernel(lens_ref, enc_ref, emb_hi_ref, emb_mid_ref,
         b * beam, d)
 
 
-@partial(jax.jit, static_argnames=("cfg", "beam_size", "interpret"))
+@partial(jax.jit, static_argnames=("cfg", "beam_size", "interpret",
+                                  "fast_dots"))
 def beam_search_batch_pallas(enc_out, enc_lens, dec_params, joi_params,
                              cfg: RnntConfig, beam_size: int = 8,
-                             interpret: bool = False) -> BeamResult:
+                             interpret: bool = False,
+                             fast_dots: bool = False) -> BeamResult:
     """Pallas megakernel variant of beam_search_batch (no hotword support).
 
     enc_out: [N, T, E] float32; enc_lens: [N] int32. Returns BeamResult with
@@ -298,7 +310,7 @@ def beam_search_batch_pallas(enc_out, enc_lens, dec_params, joi_params,
     d = emb.shape[1]
 
     kernel = partial(_beam_kernel, b=b, beam=beam, u=u, v=v,
-                     blank_id=cfg.blank_id)
+                     blank_id=cfg.blank_id, fast_dots=fast_dots)
     out_shapes = [
         jax.ShapeDtypeStruct((b, beam, u), jnp.int32),    # tokens
         jax.ShapeDtypeStruct((b, beam, u), jnp.int32),    # frames

@@ -59,9 +59,12 @@ def decode_feats_jit(feats, n_frames, enc_params, dec_params, joi_params,
         from sherpa_vietnamese_asr_tpu.ops.beam_search_pallas import (
             beam_search_batch_pallas,
         )
-        result = beam_search_batch_pallas(enc_out, enc_lens, dec_params,
-                                          joi_params, rnnt_cfg,
-                                          beam_size=beam_size)
+        result = beam_search_batch_pallas(
+            enc_out, enc_lens, dec_params, joi_params, rnnt_cfg,
+            beam_size=beam_size,
+            # bf16 serving mode is documented as not bit-stable vs fp32;
+            # match the encoder's precision class in the joiner dots too.
+            fast_dots=zip_cfg.compute_dtype == "bfloat16")
     else:
         result = beam_search_batch(enc_out, enc_lens, dec_params, joi_params,
                                    rnnt_cfg, beam_size=beam_size,

@@ -71,3 +71,21 @@ def test_decode_feats_jit_pallas_flag_cpu_fallback(rng):
                              model.joi_params, model.zip_cfg, model.rnnt_cfg,
                              4, use_pallas_beam=False)
     assert np.asarray(r1.tokens).shape[0] == 2
+
+
+def test_pallas_beam_fast_dots_traces(rng):
+    """fast_dots (bf16 3-pass serving dots) must trace and emit sane
+    hypotheses; token parity with fp32 is intentionally NOT required (bf16
+    serving mode is documented as not bit-stable)."""
+    model = random_asr_model(vocab_size=48, beam_size=4,
+                             compute_dtype="float32")
+    B, T, E = 2, 12, model.rnnt_cfg.encoder_out_dim
+    enc = jnp.asarray(rng.standard_normal((B, T, E)).astype(np.float32))
+    lens = jnp.asarray([12, 7], jnp.int32)
+    out = beam_search_batch_pallas(enc, lens, model.dec_params,
+                                   model.joi_params, model.rnnt_cfg,
+                                   beam_size=4, interpret=True,
+                                   fast_dots=True)
+    n = np.asarray(out.num_tokens)
+    assert n.shape == (2,) and (n <= np.asarray([12, 7])).all()
+    assert np.isfinite(np.asarray(out.total_logp)).all()
