@@ -119,6 +119,52 @@ class OnlineRecognizer:
         return False
 
 
+def _make_fused_stream_step(model, scfg):
+    """ONE jitted program per streaming step: fbank -> cached encoder chunk
+    -> greedy decode, with encoder state and decoder context as
+    device-resident carries.
+
+    The previous 3-program pipeline (fbank jit, encoder jit, decoder jit with
+    host materialization between) paid this backend's ~31 ms dispatch round
+    trip three times plus transfers — ~166 ms per 0.64 s chunk for a single
+    stream. Fused: one dispatch, one small download (tokens/counts).
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from sherpa_vietnamese_asr_tpu.models.zipformer_streaming import (
+        streaming_step,
+    )
+    from sherpa_vietnamese_asr_tpu.ops import fbank as fbank_ops
+    from sherpa_vietnamese_asr_tpu.utils.fbank_ref import ASR_FBANK
+
+    n_f = 2 * scfg.chunk_frames
+
+    def fused(enc_params, dec_params, joi_params, state, ctx, wav, f0s,
+              mask):
+        feats = fbank_ops.compute_fbank(wav, ASR_FBANK, use_pallas=False)
+        idx = f0s[:, None] + jnp.arange(n_f)[None, :]       # [N, n_f]
+        chunks = jnp.take_along_axis(feats, idx[:, :, None], axis=1)
+        enc_out, new_state = streaming_step(enc_params, state, chunks,
+                                            model.zip_cfg, scfg)
+
+        def sel(new, old):
+            m = mask.reshape((new.shape[0],) + (1,) * (new.ndim - 1))
+            return jnp.where(m, new, old)
+
+        new_state = jax.tree.map(sel, new_state, state)
+        toks, counts, new_ctx = jax.vmap(
+            functools.partial(_greedy_chunk_decode, cfg=model.rnnt_cfg),
+            in_axes=(0, 0, None, None))(enc_out, ctx, dec_params,
+                                        joi_params)
+        new_ctx = jnp.where(mask[:, None], new_ctx, ctx)
+        return new_state, new_ctx, toks, counts
+
+    return jax.jit(fused)
+
+
 class CachedStreamingRecognizer:
     """True cache-carrying streaming recognizer: streaming Zipformer chunks
     (models/zipformer_streaming.py) + greedy RNN-T decoding with carried
@@ -127,26 +173,26 @@ class CachedStreamingRecognizer:
     (streaming_asr_online.py) without re-encoding.
     """
 
-    def __init__(self, model, chunk_frames=32, left_frames=128):
-        import functools
+    _FIXED_F0 = 3  # frame_cursor stays in [0, 3) after buffer trimming
 
-        import jax
+    def __init__(self, model, chunk_frames=32, left_frames=128):
+        import jax.numpy as jnp
 
         from sherpa_vietnamese_asr_tpu.models.zipformer_streaming import (
-            StreamingConfig, init_streaming_state, streaming_step,
+            StreamingConfig, init_streaming_state,
         )
 
         self.model = model
         self.scfg = StreamingConfig(chunk_frames=chunk_frames,
                                     left_frames=left_frames)
         self.enc_state = init_streaming_state(model.zip_cfg, self.scfg, 1)
-        self._enc_step = jax.jit(functools.partial(
-            streaming_step, cfg=model.zip_cfg, scfg=self.scfg))
-        self._dec_step = jax.jit(functools.partial(
-            _greedy_chunk_decode, cfg=model.rnnt_cfg))
+        self._step = _make_fused_stream_step(model, self.scfg)
+        n_f = 2 * chunk_frames
+        self._win_samples = (self._FIXED_F0 + n_f - 1) * 160 + 280
+        self._mask1 = jnp.ones((1,), bool)
         self.sample_buffer = np.array([], np.float32)
         self.frame_cursor = 0  # fbank frames consumed so far
-        self.ctx = np.zeros((2,), np.int32)  # decoder context (blank-init)
+        self.ctx = jnp.zeros((1, 2), jnp.int32)  # decoder ctx (blank-init)
         self.tokens = []
         self.total_samples = 0
 
@@ -166,33 +212,29 @@ class CachedStreamingRecognizer:
             >= 2 * self.scfg.chunk_frames
 
     def decode(self):
-        """Consume one chunk of fbank frames; returns newly emitted pieces."""
-        import jax.numpy as jnp
+        """Consume one chunk of fbank frames; returns newly emitted pieces.
 
-        from sherpa_vietnamese_asr_tpu.ops import fbank as fbank_ops
-        from sherpa_vietnamese_asr_tpu.utils.fbank_ref import ASR_FBANK
+        One fused device dispatch; encoder state and decoder context stay
+        on device between chunks.
+        """
+        import jax.numpy as jnp
 
         n_frames = 2 * self.scfg.chunk_frames
         f0 = self.frame_cursor
-        # samples needed: up to (f0 + n_frames - 1)*160 + 280
-        end = (f0 + n_frames - 1) * 160 + 280
-        feats = np.asarray(fbank_ops.compute_fbank(
-            jnp.asarray(self.sample_buffer[:end]), ASR_FBANK,
-            use_pallas=False))
-        chunk = feats[f0: f0 + n_frames][None]  # [1, 64, 80]
+        wav = np.zeros((1, self._win_samples), np.float32)
+        buf = self.sample_buffer[: self._win_samples]
+        wav[0, : len(buf)] = buf
         self.frame_cursor += n_frames
         # trim consumed samples, keeping the frame overlap margin
         keep_from = max(0, self.frame_cursor * 160 - 400)
         if keep_from:
             self.sample_buffer = self.sample_buffer[keep_from:]
             self.frame_cursor -= keep_from // 160
-        enc_out, self.enc_state = self._enc_step(
-            self.model.enc_params, self.enc_state, jnp.asarray(chunk))
-        toks, n, ctx = self._dec_step(
-            enc_out[0], jnp.asarray(self.ctx), self.model.dec_params,
-            self.model.joi_params)
-        self.ctx = np.asarray(ctx)
-        new = [int(t) for t in np.asarray(toks)[: int(n)]]
+        self.enc_state, self.ctx, toks, counts = self._step(
+            self.model.enc_params, self.model.dec_params,
+            self.model.joi_params, self.enc_state, self.ctx,
+            jnp.asarray(wav), jnp.asarray([f0], jnp.int32), self._mask1)
+        new = [int(t) for t in np.asarray(toks[0])[: int(counts[0])]]
         self.tokens.extend(new)
         return new
 
@@ -206,8 +248,10 @@ class CachedStreamingRecognizer:
             init_streaming_state,
         )
 
+        import jax.numpy as jnp
+
         self.enc_state = init_streaming_state(self.model.zip_cfg, self.scfg, 1)
-        self.ctx = np.zeros((2,), np.int32)
+        self.ctx = jnp.zeros((1, 2), jnp.int32)
         self.tokens = []
         # Drop unconsumed buffered audio: reset starts a NEW utterance;
         # leftovers would otherwise leak into it.
@@ -315,13 +359,11 @@ class MultiStreamRecognizer:
     _FIXED_F0 = 3  # frame_cursor stays in [0, 3) after buffer trimming
 
     def __init__(self, model, n_streams=8, chunk_frames=32, left_frames=128):
-        import functools
-
         import jax
         import jax.numpy as jnp
 
         from sherpa_vietnamese_asr_tpu.models.zipformer_streaming import (
-            StreamingConfig, init_streaming_state, streaming_step,
+            StreamingConfig, init_streaming_state,
         )
 
         self.model = model
@@ -333,26 +375,12 @@ class MultiStreamRecognizer:
         self._zero_state = jax.tree.map(jnp.zeros_like, self.enc_state)
         n_f = 2 * chunk_frames
         self._chunk_samples = (self._FIXED_F0 + n_f - 1) * 160 + 280
-
-        def step_masked(params, state, chunks, mask):
-            out, new_state = streaming_step(params, state, chunks,
-                                            model.zip_cfg, self.scfg)
-
-            def sel(new, old):
-                m = mask.reshape((new.shape[0],) + (1,) * (new.ndim - 1))
-                return jnp.where(m, new, old)
-
-            return out, jax.tree.map(sel, new_state, state)
-
-        self._enc_step = jax.jit(step_masked)
-        self._dec_step = jax.jit(jax.vmap(
-            functools.partial(_greedy_chunk_decode, cfg=model.rnnt_cfg),
-            in_axes=(0, 0, None, None)))
-        self._fbank_jit = None
+        # fbank + cached encoder + greedy decode as ONE dispatch
+        self._step = _make_fused_stream_step(model, self.scfg)
         self.active = [False] * n_streams
         self.buffers = [np.array([], np.float32) for _ in range(n_streams)]
         self.cursors = [0] * n_streams
-        self.ctx = np.zeros((n_streams, 2), np.int32)
+        self.ctx = jnp.zeros((n_streams, 2), jnp.int32)
         self.tokens = [[] for _ in range(n_streams)]
 
     def open_stream(self):
@@ -365,7 +393,7 @@ class MultiStreamRecognizer:
                 self.active[s] = True
                 self.buffers[s] = np.array([], np.float32)
                 self.cursors[s] = 0
-                self.ctx[s] = 0
+                self.ctx = self.ctx.at[s].set(0)
                 self.tokens[s] = []
                 self.enc_state = jax.tree.map(
                     lambda a, z: a.at[s].set(z[s]),
@@ -394,33 +422,20 @@ class MultiStreamRecognizer:
         return out
 
     def step(self):
-        """Advance every ready slot by one chunk. Returns
-        {slot: [new token ids]}."""
-        import functools
-
+        """Advance every ready slot by one chunk (ONE fused dispatch).
+        Returns {slot: [new token ids]}."""
         import jax.numpy as jnp
-
-        from sherpa_vietnamese_asr_tpu.ops import fbank as fbank_ops
-        from sherpa_vietnamese_asr_tpu.utils.fbank_ref import ASR_FBANK
 
         ready = self.ready_slots()
         if not ready:
             return {}
         n_f = 2 * self.scfg.chunk_frames
         wav = np.zeros((self.n, self._chunk_samples), np.float32)
+        f0s = np.zeros((self.n,), np.int32)
         for s in ready:
             buf = self.buffers[s][: self._chunk_samples]
             wav[s, : len(buf)] = buf
-        if self._fbank_jit is None:
-            import jax
-
-            self._fbank_jit = jax.jit(functools.partial(
-                fbank_ops.compute_fbank, cfg=ASR_FBANK, use_pallas=False))
-        feats = np.asarray(self._fbank_jit(jnp.asarray(wav)))  # [N, F, 80]
-        chunks = np.zeros((self.n, n_f, 80), np.float32)
-        for s in ready:
-            f0 = self.cursors[s]
-            chunks[s] = feats[s, f0: f0 + n_f]
+            f0s[s] = self.cursors[s]
             self.cursors[s] += n_f
             keep_from = max(0, self.cursors[s] * 160 - 400)
             if keep_from:
@@ -428,17 +443,13 @@ class MultiStreamRecognizer:
                 self.cursors[s] -= keep_from // 160
         mask = np.zeros((self.n,), bool)
         mask[ready] = True
-        enc_out, self.enc_state = self._enc_step(
-            self.model.enc_params, self.enc_state, jnp.asarray(chunks),
-            jnp.asarray(mask))
-        toks, counts, new_ctx = self._dec_step(
-            enc_out, jnp.asarray(self.ctx), self.model.dec_params,
-            self.model.joi_params)
-        toks, counts, new_ctx = (np.asarray(toks), np.asarray(counts),
-                                 np.asarray(new_ctx))
+        self.enc_state, self.ctx, toks, counts = self._step(
+            self.model.enc_params, self.model.dec_params,
+            self.model.joi_params, self.enc_state, self.ctx,
+            jnp.asarray(wav), jnp.asarray(f0s), jnp.asarray(mask))
+        toks, counts = np.asarray(toks), np.asarray(counts)
         out = {}
         for s in ready:
-            self.ctx[s] = new_ctx[s]
             new = [int(t) for t in toks[s][: int(counts[s])]]
             self.tokens[s].extend(new)
             out[s] = new

@@ -112,8 +112,8 @@ def test_cached_streaming_recognizer(model, rng):
     # reset clears state
     rec.reset()
     assert rec.get_result() == ""
-    # decoder context carries across chunks (ctx updated)
-    assert rec.ctx.shape == (2,)
+    # decoder context carries across chunks (device-resident, [1, 2])
+    assert rec.ctx.shape == (1, 2)
 
 
 def test_greedy_chunk_decode_compaction(model):
