@@ -194,6 +194,27 @@ def cmd_serve(args):
         while streamer.ready_slots():
             streamer.step()
         streamer.close_stream(slot)
+        # Diarization + punctuation programs: the fused diarization
+        # superblock alone costs ~15 s of one-time trace per process
+        # (PERFORMANCE.md) — pay it here, not on the first user request.
+        warm_audio = np.zeros(16000 * 70, np.float32)
+        warm_audio[: 16000 * 65] = 0.05 * np.sin(
+            2 * np.pi * 300 * np.arange(16000 * 65) / 16000.0)
+        try:
+            from sherpa_vietnamese_asr_tpu.pipeline.diarization_pure import (
+                PureDiarizer,
+            )
+            PureDiarizer().process(warm_audio)
+        except Exception as e:
+            print(f"[serve] warmup: diarization skipped ({e})")
+        try:
+            from sherpa_vietnamese_asr_tpu.pipeline.punctuation import (
+                build_punctuation_restorer,
+            )
+            build_punctuation_restorer(model_dir=args.models_dir).restore(
+                "xin chao cac ban hom nay troi dep")
+        except Exception as e:
+            print(f"[serve] warmup: punctuation skipped ({e})")
         print(f"[serve] warmup done in {_t.time() - t0:.0f}s")
     print(f"[serve] listening on http://{args.host}:"
           f"{server.server_address[1]}")
