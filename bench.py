@@ -34,7 +34,7 @@ def main():
 
     chunk_sec = 30.0
     pad_sec = 33.0  # pipeline/decoder.py CHUNK_PAD_SEC — shared programs
-    batch = 8 if on_tpu else 2
+    batch = 32 if on_tpu else 2  # beam-kernel VMEM ceiling; best measured
     n_batches = 5 if on_tpu else 1
     sr = 16000
     n = int(chunk_sec * sr)
