@@ -53,7 +53,13 @@ def decode_feats_jit(feats, n_frames, enc_params, dec_params, joi_params,
                      with_hotwords=False, use_pallas_beam=False):
     """[B, F, 80] fbank -> (BeamResult, enc_lens)."""
     enc_out, enc_lens = zipformer_encoder(enc_params, feats, n_frames, zip_cfg)
-    if use_pallas_beam and not with_hotwords and beam_size >= 4:
+    # VMEM ceiling: the megakernel keeps [B, beam, T] recording state
+    # resident on-chip; beyond ~27k B*T rows-of-lanes (batch 32 at 33 s
+    # chunks fits, 64 does not) Mosaic fails to place it — fall back to the
+    # XLA scan rather than failing compile.
+    fits_vmem = enc_out.shape[0] * enc_out.shape[1] <= 27000
+    if use_pallas_beam and not with_hotwords and beam_size >= 4 \
+            and fits_vmem:
         # Single-megakernel scan: ~1.5x the XLA path on hardware and
         # token-faithful to the exact f32 algorithm (ops/beam_search_pallas).
         from sherpa_vietnamese_asr_tpu.ops.beam_search_pallas import (
