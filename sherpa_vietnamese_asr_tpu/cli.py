@@ -277,7 +277,8 @@ def cmd_calibrate(args):
     if args.autotune:
         # Reference batch autotune (core/calibration.py:968) + VRAM-aware
         # sizing (hardware_accel.py:639-678), retargeted to TPU HBM.
-        tune = autotune_max_batch(progress_callback=print)
+        cands = tuple(int(x) for x in args.candidates.split(","))
+        tune = autotune_max_batch(candidates=cands, progress_callback=print)
         report["batch_autotune"] = tune
         report["recommended"] = {
             "max_batch": tune["best_batch"] or auto_batch_size("decode", 8),
@@ -391,6 +392,9 @@ def main(argv=None):
     c.add_argument("--autotune", action="store_true",
                    help="probe decode batch sizes and emit recommended "
                         "max_batch per stage")
+    c.add_argument("--candidates", default="8,16,32",
+                   help="comma-separated batch sizes to probe (each costs "
+                        "a one-time compile of the decode program)")
     c.set_defaults(fn=cmd_calibrate)
 
     m = sub.add_parser("monitor", help="resource monitor")
