@@ -185,7 +185,15 @@ def cmd_serve(args):
         t0 = _t.time()
         print("[serve] warmup: compiling decode + streaming programs...")
         model = model_provider(None)
-        dec = BatchedChunkDecoder(model, max_batch=8)
+        # Warm at the SAME batch shape the pipeline will resolve for real
+        # requests (calibration autotune / HBM heuristic) — warming a
+        # different shape would leave the first request to compile anyway.
+        from sherpa_vietnamese_asr_tpu.pipeline.calibration import (
+            resolve_max_batch,
+        )
+        warm_batch = resolve_max_batch({})
+        print(f"[serve] warmup: decode batch {warm_batch}")
+        dec = BatchedChunkDecoder(model, max_batch=warm_batch)
         dummy = np.zeros(16000 * 34, np.float32)
         dec.decode_spans(dummy, [(0, 16000 * 30)])
         streamer = _state.get_streamer()

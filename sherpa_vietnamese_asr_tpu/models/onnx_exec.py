@@ -191,13 +191,20 @@ def _lstm(ins, attrs):
             o = sigmoid(xt @ wo.T + h @ ro.T + wb[1] + rb[1])
             f = sigmoid(xt @ wf.T + h @ rf.T + wb[2] + rb[2])
             g = np.tanh(xt @ wc.T + h @ rc.T + wb[3] + rb[3])
-            c = f * c + i * g
-            h = o * np.tanh(c)
+            c_new = f * c + i * g
+            h_new = o * np.tanh(c_new)
             if seq_lens is not None:
+                # ORT semantics: Y is zero on dead steps, but the carried
+                # state freezes (forward: Y_h = h at the lane's last valid
+                # frame; reverse: dead steps precede valid ones in this
+                # iteration order, so h stays h0 until the first valid frame).
                 live = (t < seq_lens).reshape(-1, 1)
-                h = np.where(live, h, 0.0)
-                c = np.where(live, c, c0[d])
-            y[t, d] = h
+                y[t, d] = np.where(live, h_new, 0.0)
+                h = np.where(live, h_new, h)
+                c = np.where(live, c_new, c)
+            else:
+                h, c = h_new, c_new
+                y[t, d] = h
         yh[d], yc[d] = h, c
     return [y, yh, yc]
 
@@ -205,6 +212,7 @@ def _lstm(ins, attrs):
 def _gru(ins, attrs):
     x, w, r = ins[0], ins[1], ins[2]
     b = ins[3] if len(ins) > 3 else None
+    seq_lens = ins[4] if len(ins) > 4 else None
     h0 = ins[5] if len(ins) > 5 else None
     direction = attrs.get("direction", "forward")
     hid = int(attrs.get("hidden_size", r.shape[2]))
@@ -237,8 +245,16 @@ def _gru(ins, attrs):
                 hh = np.tanh(xt @ wh.T + wb[2] + rg * (h @ rh.T + rb[2]))
             else:
                 hh = np.tanh(xt @ wh.T + (rg * h) @ rh.T + wb[2] + rb[2])
-            h = (1 - z) * hh + z * h
-            y[t, d] = h
+            h_new = (1 - z) * hh + z * h
+            if seq_lens is not None:
+                # Same masking contract as _lstm: zero Y on dead steps,
+                # freeze the carried state at the last valid frame.
+                live = (t < seq_lens).reshape(-1, 1)
+                y[t, d] = np.where(live, h_new, 0.0)
+                h = np.where(live, h_new, h)
+            else:
+                h = h_new
+                y[t, d] = h
         yh[d] = h
     return [y, yh]
 

@@ -165,7 +165,15 @@ def _beam_kernel(lens_ref, enc_ref, emb_hi_ref, emb_mid_ref,
     tsallis = (1.0 / (alpha - 1.0)) * (
         1.0 - jnp.sum(jnp.exp(lp3 * alpha), axis=-1, keepdims=True))
     pm1 = jnp.max(p3, axis=-1, keepdims=True)                # top1 prob
-    pmask = jnp.where(p3 == pm1, f32(-1.0), p3)
+    # Mask ONLY the argmax lane (min flat index among ties, matching
+    # lax.top_k first-occurrence semantics in ops/beam_search._entropy_metrics)
+    # so an exact probability tie yields margin pm1-pm2 == 0, not the next
+    # distinct value. f32 lane indices: integer-exact below 2^24, and f32
+    # compares avoid the Mosaic int32 broadcast-compare miscompile.
+    lane_f3 = jax.lax.broadcasted_iota(jnp.int32, (b, beam, v), 2).astype(f32)
+    tie_lane = jnp.where(p3 == pm1, lane_f3, f32(v))
+    amin = jnp.min(tie_lane, axis=-1, keepdims=True)         # [B, beam, 1]
+    pmask = jnp.where(lane_f3 == amin, f32(-1.0), p3)
     pm2 = jnp.max(pmask, axis=-1, keepdims=True)
     met = jnp.concatenate([tsallis / tsallis_max, pm1 - pm2,
                            entropy / max_entropy, pm1], axis=-1)  # [B,beam,4]

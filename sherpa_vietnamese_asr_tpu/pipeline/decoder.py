@@ -245,16 +245,23 @@ class BatchedChunkDecoder:
         depth = 3
         bases = list(range(0, total, self.max_batch))
         inflight = []
+        done = 0
+
+        def drain_one():
+            nonlocal done
+            group, launched = inflight.pop(0)
+            collect(group, launched)
+            done += len(group)
+            if progress_callback:
+                progress_callback(
+                    f"PHASE:{phase}|Decoding chunks|{done * 100 // total}")
+
         for base in bases:
             if cancel_check is not None and cancel_check():
                 raise RuntimeError("Cancelled by user")
             inflight.append(launch(base))
-            if len(inflight) > depth:
-                collect(*inflight.pop(0))
-            if progress_callback:
-                done = min(base + self.max_batch, total)
-                progress_callback(
-                    f"PHASE:{phase}|Decoding chunks|{done * 100 // total}")
-        for item in inflight:
-            collect(*item)
+            if len(inflight) >= depth:
+                drain_one()
+        while inflight:
+            drain_one()
         return (out_a, out_b) if rover else out_a

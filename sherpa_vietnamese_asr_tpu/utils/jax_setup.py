@@ -19,15 +19,38 @@ def ensure_setup():
     _DONE = True
     import jax
 
+    if os.environ.get("SVT_DISABLE_COMPILE_CACHE"):
+        return  # e.g. the multichip dryrun: CPU AOT artifacts are
+        # machine-feature-specific and unsound to reuse across hosts
     if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         return  # explicit user choice wins
-    # Per-backend subdirectory: CPU AOT artifacts are machine-feature
-    # sensitive and must not be shared with TPU entries (or across hosts).
+    # Per-backend subdirectory; the CPU backend is additionally keyed by the
+    # host CPU's feature set: CPU AOT artifacts embed machine features, and
+    # reusing another machine's entries logs feature-mismatch errors and can
+    # SIGILL. TPU artifacts are not machine-sensitive — keyed by backend only.
     backend = os.environ.get("JAX_PLATFORMS", "") or "default"
+    try:
+        import jax as _jax
+        cfg_plat = _jax.config.read("jax_platforms") or ""
+    except Exception:
+        cfg_plat = ""
+    subdir = backend.replace(",", "_") or "default"
+    if "cpu" in (backend + "," + cfg_plat).lower():
+        machine = "anycpu"
+        try:
+            import hashlib
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        machine = hashlib.sha256(
+                            line.encode()).hexdigest()[:12]
+                        break
+        except OSError:
+            pass
+        subdir += "-" + machine
     cache_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))), ".jax_cache",
-        backend.replace(",", "_") or "default")
+            os.path.abspath(__file__)))), ".jax_cache", subdir)
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -89,3 +89,30 @@ def test_pallas_beam_fast_dots_traces(rng):
     n = np.asarray(out.num_tokens)
     assert n.shape == (2,) and (n <= np.asarray([12, 7])).all()
     assert np.isfinite(np.asarray(out.total_logp)).all()
+
+
+def test_pallas_margin_zero_on_exact_tie(rng):
+    """Exact probability ties among the top lanes must yield margin
+    pm1-pm2 == 0 (lax.top_k first-occurrence semantics), not the next
+    distinct probability — the kernel masks only the argmax lane."""
+    model = random_asr_model(vocab_size=16, beam_size=4,
+                             compute_dtype="float32")
+    # Joiner forced to constant logits: 0 everywhere, blank pushed to -8.
+    # Every frame then emits a token from a 15-way exact tie.
+    joi = jax.tree_util.tree_map(jnp.zeros_like, model.joi_params)
+    joi["output"]["bias"] = joi["output"]["bias"].at[0].set(-8.0)
+    B, T, E = 2, 6, model.rnnt_cfg.encoder_out_dim
+    enc = jnp.asarray(rng.standard_normal((B, T, E)).astype(np.float32))
+    lens = jnp.full((B,), T, jnp.int32)
+    ref = beam_search_batch(enc, lens, model.dec_params, joi,
+                            model.rnnt_cfg, beam_size=4)
+    out = beam_search_batch_pallas(enc, lens, model.dec_params, joi,
+                                   model.rnnt_cfg, beam_size=4,
+                                   interpret=True)
+    n = int(np.asarray(ref.num_tokens)[0])
+    assert n > 0
+    # margin is metrics[..., 1]
+    ref_m = np.asarray(ref.entropy)[0, :n, 1]
+    out_m = np.asarray(out.entropy)[0, :n, 1]
+    np.testing.assert_allclose(ref_m, 0.0, atol=1e-6)
+    np.testing.assert_allclose(out_m, ref_m, atol=1e-6)

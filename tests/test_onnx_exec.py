@@ -108,6 +108,88 @@ def test_gru_matches_torch(rng):
     np.testing.assert_allclose(y, ref.detach().numpy(), rtol=1e-5, atol=1e-5)
 
 
+def test_lstm_sequence_lens_matches_torch_packed(rng):
+    # ORT sequence_lens semantics == torch packed sequences: Y zero on dead
+    # steps, Y_h/Y_c frozen at each lane's last valid frame, reverse
+    # direction starting from the lane's true end with the INITIAL state
+    # (not zeros).
+    t_len, batch, inp, hid = 8, 3, 4, 5
+    lens = np.array([8, 5, 3], np.int32)
+    x = rng.standard_normal((t_len, batch, inp)).astype(np.float32)
+    h0 = rng.standard_normal((2, batch, hid)).astype(np.float32)
+    c0 = rng.standard_normal((2, batch, hid)).astype(np.float32)
+    m = torch.nn.LSTM(inp, hid, bidirectional=True)
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+
+    def reorder(a):  # torch [i,f,g,o] -> ONNX [i,o,f,c]
+        i, f, g, o = np.split(a, 4, axis=0)
+        return np.concatenate([i, o, f, g], axis=0)
+
+    w = np.stack([reorder(sd["weight_ih_l0"]),
+                  reorder(sd["weight_ih_l0_reverse"])])
+    r = np.stack([reorder(sd["weight_hh_l0"]),
+                  reorder(sd["weight_hh_l0_reverse"])])
+    bias = np.stack([
+        np.concatenate([reorder(sd["bias_ih_l0"]),
+                        reorder(sd["bias_hh_l0"])]),
+        np.concatenate([reorder(sd["bias_ih_l0_reverse"]),
+                        reorder(sd["bias_hh_l0_reverse"])])])
+    b = GraphBuilder()
+    ins = [b.input("x"), b.init("w", w), b.init("r", r), b.init("b", bias),
+           b.input("lens"), b.input("h0"), b.input("c0")]
+    outs = b.node("LSTM", ins, n_out=3, direction="bidirectional",
+                  hidden_size=hid)
+    for o in outs:
+        b.output(o)
+    got = run_onnx(b.build(), {"x": x, "lens": lens, "h0": h0, "c0": c0})
+    packed = torch.nn.utils.rnn.pack_padded_sequence(
+        torch.tensor(x), torch.tensor(lens))
+    out, (hn, cn) = m(packed, (torch.tensor(h0), torch.tensor(c0)))
+    ref_y, _ = torch.nn.utils.rnn.pad_packed_sequence(out, total_length=t_len)
+    y = got[0].transpose(0, 2, 1, 3).reshape(t_len, batch, 2 * hid)
+    np.testing.assert_allclose(y, ref_y.detach().numpy(), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(got[1], hn.detach().numpy(), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(got[2], cn.detach().numpy(), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_gru_sequence_lens_matches_torch_packed(rng):
+    t_len, batch, inp, hid = 7, 3, 4, 5
+    lens = np.array([7, 4, 2], np.int32)
+    x = rng.standard_normal((t_len, batch, inp)).astype(np.float32)
+    h0 = rng.standard_normal((1, batch, hid)).astype(np.float32)
+    m = torch.nn.GRU(inp, hid)
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+
+    def reorder(a):  # torch [r,z,n] -> ONNX [z,r,h]
+        r, z, n = np.split(a, 3, axis=0)
+        return np.concatenate([z, r, n], axis=0)
+
+    w = reorder(sd["weight_ih_l0"])[None]
+    r = reorder(sd["weight_hh_l0"])[None]
+    bias = np.concatenate([reorder(sd["bias_ih_l0"]),
+                           reorder(sd["bias_hh_l0"])])[None]
+    b = GraphBuilder()
+    ins = [b.input("x"), b.init("w", w), b.init("r", r), b.init("b", bias),
+           b.input("lens"), b.input("h0")]
+    outs = b.node("GRU", ins, n_out=2, hidden_size=hid,
+                  linear_before_reset=1)
+    for o in outs:
+        b.output(o)
+    got = run_onnx(b.build(), {"x": x, "lens": lens, "h0": h0})
+    packed = torch.nn.utils.rnn.pack_padded_sequence(
+        torch.tensor(x), torch.tensor(lens))
+    out, hn = m(packed, torch.tensor(h0))
+    ref_y, _ = torch.nn.utils.rnn.pad_packed_sequence(out, total_length=t_len)
+    y = got[0][:, 0]
+    np.testing.assert_allclose(y, ref_y.detach().numpy(), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(got[1], hn.detach().numpy(), rtol=1e-5,
+                               atol=1e-5)
+
+
 def test_pools_match_torch(rng):
     x = rng.standard_normal((2, 3, 15, 13)).astype(np.float32)
     got = _run1("MaxPool", {"x": x}, kernel_shape=(3, 3), strides=(2, 2),
