@@ -21,8 +21,15 @@
 #   * top-k is 8 passes of (global max, min-flat-index tie-break, mask) —
 #     identical ordering to lax.top_k (stable, lower index first);
 #   * beam-axis parent gathers are unrolled selects (beam is 8);
-#   * hotword boosting is NOT implemented here — callers with hotword tables
-#     use the XLA path (decode_feats_jit picks automatically).
+#   * hotword boosting (reference core/hotword_context.py:34-189 semantics,
+#     applied AFTER top-k like core/asr_engine.py:1127-1131) carries the
+#     per-beam Aho-Corasick state in VMEM and fetches the dense
+#     delta/next-state tables (ops/hotword.py) with the same exact-f32
+#     one-hot MXU trick as the embedding rows: tables stored transposed
+#     [V, 2*S_pad] so the per-candidate fetch is one [B*beam, V] x
+#     [V, 2*S_pad] matmul (tiny: S_pad <= 512) followed by a state-one-hot
+#     row select — no vector gathers needed. Larger automatons fall back to
+#     the XLA path (decode_feats_jit gates on table size).
 
 from __future__ import annotations
 
@@ -68,11 +75,18 @@ def _metrics_const(v: int):
 def _beam_kernel(lens_ref, enc_ref, emb_hi_ref, emb_mid_ref,
                  emb_lo_ref, w0_ref, w1_ref,
                  wdp_ref, bdp_ref, we_ref, be_ref, wo_ref, bo_ref,
-                 tokens_ref, frames_ref, tok_logp_ref, ent_ref,
-                 n_emit_ref, logp_ref,
-                 e0_ref, e1_ref,
-                 *, b: int, beam: int, u: int, v: int, blank_id: int,
-                 fast_dots: bool):
+                 *rest,
+                 b: int, beam: int, u: int, v: int, blank_id: int,
+                 unk_id: int, fast_dots: bool, with_hw: bool, s_pad: int):
+    if with_hw:
+        (tbl_hi_ref, tbl_mid_ref, tbl_lo_ref,
+         tokens_ref, frames_ref, tok_logp_ref, ent_ref,
+         n_emit_ref, logp_ref, hw_ref,
+         e0_ref, e1_ref) = rest
+    else:
+        (tokens_ref, frames_ref, tok_logp_ref, ent_ref,
+         n_emit_ref, logp_ref,
+         e0_ref, e1_ref) = rest
     t = pl.program_id(0)
     f32 = jnp.float32
 
@@ -85,6 +99,8 @@ def _beam_kernel(lens_ref, enc_ref, emb_hi_ref, emb_mid_ref,
         n_emit_ref[...] = jnp.zeros((b, beam), jnp.int32)
         beam_iota2 = jax.lax.broadcasted_iota(jnp.int32, (b, beam), 1)
         logp_ref[...] = jnp.where(beam_iota2 == 0, f32(0.0), f32(NEG_INF))
+        if with_hw:
+            hw_ref[...] = jnp.zeros((b, beam), jnp.int32)  # root state
         # context ([-1, 0] + emitted, >=0) starts as token 0 for both slots
         e_blank = (emb_hi_ref[0:1, :].astype(f32)
                    + emb_mid_ref[0:1, :].astype(f32)
@@ -159,6 +175,44 @@ def _beam_kernel(lens_ref, enc_ref, emb_hi_ref, emb_mid_ref,
     top_scores = jnp.concatenate(scores, axis=1)             # [B, beam]
     is_blank = tok == blank_id
 
+    # One-hot of the selected token per candidate — shared by the hotword
+    # table fetch and the new-context embedding fetch below. Exact in bf16
+    # (0/1 values).
+    lane_v3 = jax.lax.broadcasted_iota(jnp.int32, (b, beam, v), 2)
+    onehot = (lane_v3 == tok[:, :, None]).astype(jnp.bfloat16).reshape(
+        b * beam, v)
+
+    # ---- hotword boost (after top-k, asr_engine.py:1127-1131) -----------
+    if with_hw:
+        # Parent automaton state for each candidate (unrolled select).
+        p_hw = jnp.zeros((b, beam), jnp.int32)
+        for i in range(beam):
+            p_hw = jnp.where(hi == i, hw_ref[:, i:i + 1], p_hw)
+        # Fetch column tok of both tables for every candidate:
+        # tmp[j, :] = [delta[:, tok_j].T | next_state[:, tok_j].T] via one
+        # exact-f32 3-pass one-hot matmul against the [V, 2*S_pad]
+        # transposed tables.
+        tmp = (jnp.dot(onehot, tbl_hi_ref[...], preferred_element_type=f32)
+               + jnp.dot(onehot, tbl_mid_ref[...],
+                         preferred_element_type=f32)
+               + jnp.dot(onehot, tbl_lo_ref[...],
+                         preferred_element_type=f32))     # [B*beam, 2*S_pad]
+        delta_rows = tmp[:, :s_pad].reshape(b, beam, s_pad)
+        next_rows = tmp[:, s_pad:].reshape(b, beam, s_pad)
+        # Row select by parent state: f32 one-hot over S_pad (compare in
+        # f32 — int32 broadcast compares miscompile on Mosaic).
+        s_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (b, beam, s_pad), 2).astype(f32)
+        p_hwf = p_hw.astype(f32)[:, :, None]
+        oh_s = (s_iota == p_hwf).astype(f32)
+        delta = jnp.sum(delta_rows * oh_s, axis=-1)           # [B, beam]
+        next_s = jnp.sum(next_rows * oh_s, axis=-1).astype(jnp.int32)
+        apply_hw = (~is_blank) & (tok != unk_id)
+        boosted = top_scores + jnp.where(apply_hw, delta, f32(0.0))
+        new_hw = jnp.where(apply_hw, next_s, p_hw)
+    else:
+        boosted = top_scores
+
     # ---- per-beam entropy metrics from the raw logits -------------------
     alpha, max_entropy, tsallis_max = _metrics_const(v)
     entropy = -jnp.sum(p3 * lp3, axis=-1, keepdims=True)     # [B, beam, 1]
@@ -204,9 +258,6 @@ def _beam_kernel(lens_ref, enc_ref, emb_hi_ref, emb_mid_ref,
     p_e1 = gather_rows(e1_ref[...].reshape(b, beam, d))
 
     # ---- new context embeddings ----------------------------------------
-    lane_v3 = jax.lax.broadcasted_iota(jnp.int32, (b, beam, v), 2)
-    onehot = (lane_v3 == tok[:, :, None]).astype(jnp.bfloat16).reshape(
-        b * beam, v)
     # Exact f32 row fetch in 3 bf16 MXU passes: emb = hi + mid + lo with 8
     # mantissa bits each (24 total = f32), and onehot (0/1) is bf16-exact.
     emb_new = (jnp.dot(onehot, emb_hi_ref[...], preferred_element_type=f32)
@@ -240,7 +291,9 @@ def _beam_kernel(lens_ref, enc_ref, emb_hi_ref, emb_mid_ref,
     # ---- dedup: log-add merge of identical emitted sequences ------------
     # equal[b, i, j] = sequences of new beams i and j identical
     # Unrolled over old-beam index i; only 2D [B, beam] tensors (Mosaic
-    # rejects [B, i, j] middle-axis broadcasts).
+    # rejects [B, i, j] middle-axis broadcasts). Merged scores are the
+    # (hotword-boosted) candidate scores, matching the XLA path's
+    # post-boost logsumexp.
     eqs = []  # eqs[i][b, j]: new beams i and j carry identical sequences
     for i in range(beam):
         same = (new_tokens == new_tokens[:, i:i + 1, :]) | \
@@ -254,10 +307,10 @@ def _beam_kernel(lens_ref, enc_ref, emb_hi_ref, emb_mid_ref,
     for i in reversed(range(beam)):
         canon = jnp.where(eqs[i] & (i <= j_self), i, canon)
     is_canon = canon == j_self
-    # merged[b, i] = logsumexp over {j : canon[b, j] == i} of top_scores
+    # merged[b, i] = logsumexp over {j : canon[b, j] == i} of boosted scores
     merged_cols = []
     for i in range(beam):
-        vals = jnp.where(canon == i, top_scores, f32(NEG_INF))
+        vals = jnp.where(canon == i, boosted, f32(NEG_INF))
         mloc = jnp.max(vals, axis=-1, keepdims=True)          # [B, 1]
         ssum = jnp.sum(jnp.exp(vals - mloc), axis=-1, keepdims=True)
         merged_cols.append(mloc + jnp.log(ssum))
@@ -265,9 +318,13 @@ def _beam_kernel(lens_ref, enc_ref, emb_hi_ref, emb_mid_ref,
     new_logp = jnp.where(is_canon, merged, f32(NEG_INF))
 
     # ---- frames past each chunk's valid length are no-ops ---------------
-    lens2 = lens_ref[...] + jnp.zeros((b, beam), jnp.int32)   # [B, beam]
-    valid = t < lens2
-    valid3 = t < lens2[:, :, None]
+    # NOTE: int32 compare against an arithmetic-broadcast operand
+    # MISCOMPARES on Mosaic (silently; interpret mode is fine) — broadcast
+    # and compare in f32 (values < 2^24, exact).
+    lens2f = lens_ref[...].astype(f32) + jnp.zeros((b, beam), f32)
+    tf = jnp.int32(0) + t  # traced scalar
+    valid = tf.astype(f32) < lens2f
+    valid3 = tf.astype(f32) < lens2f[:, :, None]
 
     def upd(ref, new, old):
         ref[...] = jnp.where(valid3 if new.ndim == 3 else valid, new, old)
@@ -278,6 +335,8 @@ def _beam_kernel(lens_ref, enc_ref, emb_hi_ref, emb_mid_ref,
     upd(ent_ref, new_ent, ent_ref[...])
     upd(n_emit_ref, new_n, n_emit_ref[...])
     upd(logp_ref, new_logp, logp_ref[...])
+    if with_hw:
+        upd(hw_ref, new_hw, hw_ref[...])
     e0_ref[...] = jnp.where(valid3, new_e0,
                             e0_ref[...].reshape(b, beam, d)).reshape(
         b * beam, d)
@@ -286,29 +345,42 @@ def _beam_kernel(lens_ref, enc_ref, emb_hi_ref, emb_mid_ref,
         b * beam, d)
 
 
+def _split3(a):
+    """f32 [..] -> (hi, mid, lo) bf16 with hi+mid+lo == a exactly (24
+    mantissa bits across three 8-bit limbs)."""
+    f32 = jnp.float32
+    hi = a.astype(jnp.bfloat16)
+    r1 = a - hi.astype(f32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(f32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
 @partial(jax.jit, static_argnames=("cfg", "beam_size", "interpret",
-                                  "fast_dots"))
+                                  "fast_dots", "with_hotwords"))
 def beam_search_batch_pallas(enc_out, enc_lens, dec_params, joi_params,
                              cfg: RnntConfig, beam_size: int = 8,
                              interpret: bool = False,
-                             fast_dots: bool = False) -> BeamResult:
-    """Pallas megakernel variant of beam_search_batch (no hotword support).
+                             fast_dots: bool = False,
+                             hw_tables=None,
+                             with_hotwords: bool = False) -> BeamResult:
+    """Pallas megakernel variant of beam_search_batch.
 
     enc_out: [N, T, E] float32; enc_lens: [N] int32. Returns BeamResult with
-    the same shapes/semantics as the XLA path.
+    the same shapes/semantics as the XLA path. With with_hotwords=True pass
+    a HotwordTables pytree; the automaton state advances in-kernel and the
+    finalize subtraction (asr_engine.py:1142-1148) happens on the way out.
     """
     b, t_max, _e = enc_out.shape
     u = t_max
     v = cfg.vocab_size
     beam = beam_size
     f32 = jnp.float32
+    with_hw = with_hotwords and hw_tables is not None
 
     w0, w1 = _dense_decoder_weights(dec_params, cfg)
     emb = dec_params["embedding"].astype(f32)
-    emb_hi = emb.astype(jnp.bfloat16)
-    r1 = emb - emb_hi.astype(f32)
-    emb_mid = r1.astype(jnp.bfloat16)
-    emb_lo = (r1 - emb_mid.astype(f32)).astype(jnp.bfloat16)
+    emb_hi, emb_mid, emb_lo = _split3(emb)
     wdp = joi_params["decoder_proj"]["weight"].astype(f32)
     bdp = joi_params["decoder_proj"]["bias"].astype(f32)[None, :]
     we = joi_params["encoder_proj"]["weight"].astype(f32)
@@ -317,8 +389,24 @@ def beam_search_batch_pallas(enc_out, enc_lens, dec_params, joi_params,
     bo = joi_params["output"]["bias"].astype(f32)[None, :]
     d = emb.shape[1]
 
+    s_pad = 0
+    hw_args, hw_specs = (), ()
+    if with_hw:
+        s = hw_tables.next_state.shape[0]
+        s_pad = max(128, -(-s // 128) * 128)
+        # Transposed [V, 2*S_pad]: cols [0:S_pad] delta, [S_pad:] next_state
+        # (int values < 2^24: exact across the 3 bf16 limbs).
+        tbl = jnp.zeros((v, 2 * s_pad), f32)
+        tbl = tbl.at[:, :s].set(hw_tables.delta.astype(f32).T)
+        tbl = tbl.at[:, s_pad:s_pad + s].set(
+            hw_tables.next_state.astype(f32).T)
+        hw_args = _split3(tbl)
+        hw_specs = tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                         for _ in range(3))
+
     kernel = partial(_beam_kernel, b=b, beam=beam, u=u, v=v,
-                     blank_id=cfg.blank_id, fast_dots=fast_dots)
+                     blank_id=cfg.blank_id, unk_id=cfg.unk_id,
+                     fast_dots=fast_dots, with_hw=with_hw, s_pad=s_pad)
     out_shapes = [
         jax.ShapeDtypeStruct((b, beam, u), jnp.int32),    # tokens
         jax.ShapeDtypeStruct((b, beam, u), jnp.int32),    # frames
@@ -327,7 +415,10 @@ def beam_search_batch_pallas(enc_out, enc_lens, dec_params, joi_params,
         jax.ShapeDtypeStruct((b, beam), jnp.int32),       # n_emit
         jax.ShapeDtypeStruct((b, beam), f32),             # logp
     ]
-    tokens, frames, tok_logp, ent, n_emit, logp = pl.pallas_call(
+    if with_hw:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((b, beam), jnp.int32))   # hw_state
+    outs = pl.pallas_call(
         kernel,
         grid=(t_max,),
         in_specs=[
@@ -345,6 +436,7 @@ def beam_search_batch_pallas(enc_out, enc_lens, dec_params, joi_params,
             pl.BlockSpec(memory_space=pltpu.VMEM),            # be
             pl.BlockSpec(memory_space=pltpu.VMEM),            # wo
             pl.BlockSpec(memory_space=pltpu.VMEM),            # bo
+            *hw_specs,
         ],
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)
                    for _ in out_shapes],
@@ -356,14 +448,21 @@ def beam_search_batch_pallas(enc_out, enc_lens, dec_params, joi_params,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * t_max * b * beam * d * (2 * d + v + d)
-            + 2 * t_max * b * beam * v * 8,
+            + 2 * t_max * b * beam * v * 8
+            + (2 * t_max * b * beam * v * 2 * s_pad * 3 if with_hw else 0),
             bytes_accessed=t_max * (4 * (v * d + d * d * 2 + d * v)
                                     + b * beam * u * 4 * 7),
             transcendentals=t_max * b * beam * v * 4,
         ),
     )(enc_lens.astype(jnp.int32).reshape(b, 1),
       jnp.swapaxes(enc_out.astype(f32), 0, 1),  # [T, B, E] for (1,B,E) blocks
-      emb_hi, emb_mid, emb_lo, w0, w1, wdp, bdp, we, be, wo, bo)
+      emb_hi, emb_mid, emb_lo, w0, w1, wdp, bdp, we, be, wo, bo, *hw_args)
+    if with_hw:
+        tokens, frames, tok_logp, ent, n_emit, logp, hw_state = outs
+        # finalize: abandon partial matches (asr_engine.py:1142-1148)
+        logp = logp - hw_tables.node_score[hw_state]
+    else:
+        tokens, frames, tok_logp, ent, n_emit, logp = outs
 
     # Final selection — identical to the XLA path (length-normalized).
     norm = jnp.maximum(n_emit + cfg.context_size, 1).astype(f32)

@@ -56,10 +56,13 @@ def decode_feats_jit(feats, n_frames, enc_params, dec_params, joi_params,
     # VMEM ceiling: the megakernel keeps [B, beam, T] recording state
     # resident on-chip; beyond ~27k B*T rows-of-lanes (batch 32 at 33 s
     # chunks fits, 64 does not) Mosaic fails to place it — fall back to the
-    # XLA scan rather than failing compile.
+    # XLA scan rather than failing compile. Hotword automatons ride the
+    # kernel too (round 3): their transposed [V, 2*S_pad] limb tables are
+    # VMEM-resident, measured to fit up to S=500 states at batch 32.
     fits_vmem = enc_out.shape[0] * enc_out.shape[1] <= 27000
-    if use_pallas_beam and not with_hotwords and beam_size >= 4 \
-            and fits_vmem:
+    hw_fits = (not with_hotwords) or (
+        hw_tables is not None and hw_tables.next_state.shape[0] <= 500)
+    if use_pallas_beam and beam_size >= 4 and fits_vmem and hw_fits:
         # Single-megakernel scan: ~1.5x the XLA path on hardware and
         # token-faithful to the exact f32 algorithm (ops/beam_search_pallas).
         from sherpa_vietnamese_asr_tpu.ops.beam_search_pallas import (
@@ -68,6 +71,8 @@ def decode_feats_jit(feats, n_frames, enc_params, dec_params, joi_params,
         result = beam_search_batch_pallas(
             enc_out, enc_lens, dec_params, joi_params, rnnt_cfg,
             beam_size=beam_size,
+            hw_tables=hw_tables if with_hotwords else None,
+            with_hotwords=with_hotwords,
             # bf16 serving mode is documented as not bit-stable vs fp32;
             # match the encoder's precision class in the joiner dots too.
             fast_dots=zip_cfg.compute_dtype == "bfloat16")
@@ -138,8 +143,9 @@ class BatchedChunkDecoder:
         if use_pallas_fbank is None:
             use_pallas_fbank = jax.default_backend() not in ("cpu",)
         self.use_pallas_fbank = use_pallas_fbank
-        # Pallas beam-search megakernel: TPU-only (Mosaic), no hotword
-        # support, not sharded — single-device decode only.
+        # Pallas beam-search megakernel: TPU-only (Mosaic), not sharded —
+        # single-device decode only. Hotword automatons run in-kernel for
+        # up to 500 states (decode_feats_jit gates on table size).
         self.use_pallas_beam = (jax.default_backend() not in ("cpu",)
                                 and mesh is None)
         if transfer_dtype is None:

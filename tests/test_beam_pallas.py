@@ -91,6 +91,80 @@ def test_pallas_beam_fast_dots_traces(rng):
     assert np.isfinite(np.asarray(out.total_logp)).all()
 
 
+def test_pallas_beam_hotword_parity(rng):
+    """In-kernel hotword boosting: token/score-identical to the XLA hotword
+    path (itself oracle-tested vs the dict-based reference algorithm)."""
+    from sherpa_vietnamese_asr_tpu.ops.hotword import build_hotword_tables
+
+    model = random_asr_model(vocab_size=48, beam_size=8,
+                             compute_dtype="float32")
+    phrases = [[5, 9, 12], [5, 9], [30, 31, 32, 33], [12, 7]]
+    scores = [1.5, 2.0, 1.0, 3.0]
+    tables, _ = build_hotword_tables(phrases, scores,
+                                     model.rnnt_cfg.vocab_size)
+    B, T, E = 3, 18, model.rnnt_cfg.encoder_out_dim
+    enc = jnp.asarray(rng.standard_normal((B, T, E)).astype(np.float32))
+    lens = jnp.asarray([18, 11, 1], jnp.int32)
+    ref = beam_search_batch(enc, lens, model.dec_params, model.joi_params,
+                            model.rnnt_cfg, beam_size=8, hw_tables=tables,
+                            with_hotwords=True)
+    out = beam_search_batch_pallas(enc, lens, model.dec_params,
+                                   model.joi_params, model.rnnt_cfg,
+                                   beam_size=8, interpret=True,
+                                   hw_tables=tables, with_hotwords=True)
+    assert np.array_equal(np.asarray(out.tokens), np.asarray(ref.tokens))
+    assert np.array_equal(np.asarray(out.frames), np.asarray(ref.frames))
+    assert np.array_equal(np.asarray(out.num_tokens),
+                          np.asarray(ref.num_tokens))
+    np.testing.assert_allclose(np.asarray(out.total_logp),
+                               np.asarray(ref.total_logp), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.tok_logp),
+                               np.asarray(ref.tok_logp), atol=1e-4)
+
+
+def test_pallas_beam_hotword_fixture_parity():
+    """The frozen beam fixture's hotword cases decode identically through
+    the megakernel (interpret mode)."""
+    import json
+    import os
+
+    import jax
+
+    from sherpa_vietnamese_asr_tpu.models import rnnt as m
+    from sherpa_vietnamese_asr_tpu.ops.hotword import build_hotword_tables
+
+    fixture = os.path.join(os.path.dirname(__file__), "data",
+                           "beam_fixture.json")
+    with open(fixture) as f:
+        fx = json.load(f)
+    cfg = m.RnntConfig(**fx["rnnt_cfg"])
+    k1, k2 = jax.random.split(jax.random.PRNGKey(fx["prng_seed"]))
+    dec = m.init_decoder_params(k1, cfg)
+    joi = m.init_joiner_params(k2, cfg)
+    rng2 = np.random.default_rng(fx["enc_seed"])
+    enc = (rng2.standard_normal(fx["enc_shape"])
+           * fx["enc_scale"]).astype(np.float32)
+    lens = np.asarray(fx["lens"], np.int32)
+    tables, _ = build_hotword_tables(fx["hotword_phrases"],
+                                     fx["hotword_scores"], cfg.vocab_size)
+    for case in fx["cases"]:
+        if not case["hotwords"] or case["beam"] < 4:
+            continue
+        got = beam_search_batch_pallas(
+            jnp.asarray(enc), jnp.asarray(lens), dec, joi, cfg,
+            beam_size=case["beam"], interpret=True,
+            hw_tables=tables, with_hotwords=True)
+        for i, exp in enumerate(case["expected"]):
+            nt = int(got.num_tokens[i])
+            label = f"pallas beam={case['beam']} hw chunk={i}"
+            assert nt == len(exp["tokens"]), label
+            np.testing.assert_array_equal(
+                np.asarray(got.tokens[i])[:nt], exp["tokens"],
+                err_msg=label)
+            assert abs(float(got.total_logp[i]) - exp["total_logp"]) < 1e-3, \
+                label
+
+
 def test_pallas_margin_zero_on_exact_tie(rng):
     """Exact probability ties among the top lanes must yield margin
     pm1-pm2 == 0 (lax.top_k first-occurrence semantics), not the next
