@@ -191,6 +191,15 @@ def read_onnx(path_or_bytes):
         ))
         attrs.append(dict(_decode_attribute(ab)
                           for ab in nf.get(_NODE_ATTRIBUTE, [])))
+        # Constant-node weights: some real exports carry tensors as
+        # Constant nodes instead of graph initializers — fold them in so
+        # importer name maps see them uniformly.
+        op, _ins, outs, _nm = nodes[-1]
+        if op == "Constant" and outs and "value" in attrs[-1] \
+                and outs[0] not in initializers:
+            val = attrs[-1]["value"]
+            if isinstance(val, np.ndarray):
+                initializers[outs[0]] = val
 
     def names(field):
         out = []
@@ -229,21 +238,137 @@ class ImportReport(Exception):
     pass
 
 
-def map_initializers(initializers, name_map, strict=True, label=""):
-    """Apply {source_name: (set_fn, transform)} over initializers.
+def _dest_array(set_fn):
+    """Read the destination leaf a setter closure writes to (its current
+    randomly-initialized value — gives the expected post-transform shape)."""
+    fv = set_fn.__code__.co_freevars
+    cells = {n: c.cell_contents for n, c in zip(fv, set_fn.__closure__)}
+    if "node" in cells and "key" in cells:
+        return np.asarray(cells["node"][cells["key"]])
+    if "tree" in cells and "path" in cells:
+        node = cells["tree"]
+        for p in cells["path"][:-1]:
+            node = node[p]
+        return np.asarray(node[cells["path"][-1]])
+    raise TypeError("unrecognized setter closure layout")
+
+
+def _entry(e):
+    """Name-map entry -> (set_fn, transform, group, default). Entries are
+    2-tuples normally; 4-tuples add an all-or-nothing default group (e.g.
+    BatchNorm folded into the preceding conv by the exporter)."""
+    if len(e) == 2:
+        return e[0], e[1], None, None
+    return e[0], e[1], e[2], e[3]
+
+
+def _fallback_match(initializers, name_map, missing, used, label=""):
+    """Topology/shape-based matching for renamed initializers.
+
+    For each missing expected name, candidate file tensors are those whose
+    transformed shape equals the destination leaf's shape; ties resolve by
+    Hungarian assignment over name similarity + file-order distance (torch
+    exports keep state-dict order). Returns {expected_name: actual_name} or
+    raises ImportReport when the assignment is infeasible/ambiguous.
+    """
+    import difflib
+
+    unused = [k for k in initializers if k not in used]
+    if not unused:
+        raise ImportReport(
+            f"[{label}] {len(missing)} expected tensors missing and no "
+            f"unmatched tensors left in the file, e.g. {missing[:8]}")
+    exp_pos = {k: i for i, k in enumerate(name_map)}
+    act_pos = {k: i for i, k in enumerate(initializers)}
+    n_exp = max(len(name_map) - 1, 1)
+    n_act = max(len(initializers) - 1, 1)
+    big = 1e9
+    cost = np.full((len(missing), len(unused)), big, np.float64)
+    for i, e in enumerate(missing):
+        set_fn, transform, _g, _d = _entry(name_map[e])
+        dest_shape = np.shape(_dest_array(set_fn))
+        for j, a in enumerate(unused):
+            arr = initializers[a]
+            try:
+                t = arr if transform is None else transform(arr)
+            except Exception:
+                continue
+            if np.shape(np.asarray(t)) != dest_shape:
+                continue
+            # Order is the reliable signal (torch exports keep state-dict
+            # order); name similarity only breaks ties — with opaque
+            # renames its noise must stay below one position step.
+            sim = difflib.SequenceMatcher(None, e, a).ratio()
+            order = abs(exp_pos[e] / n_exp - act_pos[a] / n_act)
+            cost[i, j] = order + 0.05 * (1.0 - sim)
+    from scipy.optimize import linear_sum_assignment
+    # Pad rectangular: scipy handles len(missing) <= len(unused); if more
+    # expected than available, it's infeasible anyway.
+    if len(missing) > len(unused):
+        raise ImportReport(
+            f"[{label}] {len(missing)} expected tensors missing but only "
+            f"{len(unused)} unmatched tensors in the file")
+    rows, cols = linear_sum_assignment(cost)
+    out = {}
+    for i, j in zip(rows, cols):
+        if cost[i, j] >= big:
+            raise ImportReport(
+                f"[{label}] no shape-compatible tensor in the file for "
+                f"expected '{missing[i]}' (fallback matching failed)")
+        out[missing[i]] = unused[j]
+    return out
+
+
+def map_initializers(initializers, name_map, strict=True, label="",
+                     fallback_match=False):
+    """Apply {source_name: (set_fn, transform[, group, default])} over
+    initializers.
 
     set_fn(np_array) writes into the destination pytree; transform is applied
-    first (None = identity). Raises ImportReport listing missing/unused names
-    when strict.
+    first (None = identity). Grouped entries with defaults (see _entry) are
+    filled with the default when the WHOLE group is absent — e.g. BatchNorm
+    stats constant-folded into the conv by the exporter. With
+    fallback_match=True, remaining missing names are resolved against
+    unmatched file tensors by shape + name-similarity + file order
+    (_fallback_match); real exports rename initializers freely. Raises
+    ImportReport listing missing/unused names when strict.
     """
     missing, used = [], set()
-    for src, (set_fn, transform) in name_map.items():
+    for src, e in name_map.items():
+        set_fn, transform, _g, _d = _entry(e)
         if src not in initializers:
             missing.append(src)
             continue
         arr = initializers[src]
         set_fn(arr if transform is None else transform(arr))
         used.add(src)
+    if missing:
+        # All-or-nothing group defaults (folded BN): only when every member
+        # of the group is missing — a partially-present group is a mapping
+        # bug and must surface below.
+        groups = {}
+        for src, e in name_map.items():
+            _s, _t, g, _d = _entry(e)
+            if g is not None:
+                groups.setdefault(g, []).append(src)
+        defaulted = []
+        for g, members in groups.items():
+            if all(mname in missing for mname in members):
+                for mname in members:
+                    set_fn, _t, _g, default = _entry(name_map[mname])
+                    dest = _dest_array(set_fn)
+                    set_fn(np.full(dest.shape, default, np.float32))
+                    defaulted.append(mname)
+        missing = [mname for mname in missing if mname not in defaulted]
+    if missing and fallback_match:
+        matched = _fallback_match(initializers, name_map, missing, used,
+                                  label=label)
+        for e_name, a_name in matched.items():
+            set_fn, transform, _g, _d = _entry(name_map[e_name])
+            arr = initializers[a_name]
+            set_fn(arr if transform is None else transform(arr))
+            used.add(a_name)
+        missing = [mname for mname in missing if mname not in matched]
     if strict and missing:
         unused = sorted(set(initializers) - used)
         raise ImportReport(
@@ -313,8 +438,10 @@ def load_zipformer_rnnt(model_dir, zcfg, rcfg):
         "embedding.weight": (setter(dec_params, "embedding"), None),
         "conv.weight": (setter(dec_params, "conv_weight"), None),
     }
-    map_initializers(joi_init, joi_map, label="joiner")
-    map_initializers(dec_init, dec_map, label="decoder")
+    map_initializers(joi_init, joi_map, label="joiner",
+                     fallback_match=True)
+    map_initializers(dec_init, dec_map, label="decoder",
+                     fallback_match=True)
 
     import jax
 
@@ -327,14 +454,19 @@ def load_zipformer_rnnt(model_dir, zcfg, rcfg):
     missing = map_initializers(enc_init, enc_map, strict=False,
                                label="encoder")
     if missing:
-        # The torch-export initializer names have NOT yet been validated
-        # against a real checkpoint (none ship in this environment). Raise a
-        # full diagnostic so completing the map is mechanical.
-        unused = sorted(set(enc_init) - set(enc_map))
-        raise ImportReport(
-            f"[encoder] {len(missing)}/{len(enc_map)} expected tensors "
-            f"missing, e.g. {missing[:6]}; {len(unused)} unmatched names in "
-            f"the file, e.g. {unused[:12]}")
+        # Real exports may rename initializers (wrapper prefixes, opset
+        # rewrites); resolve the remainder by shape + file order + name
+        # similarity before giving up with a full diagnostic.
+        try:
+            map_initializers(enc_init, enc_map, strict=True, label="encoder",
+                             fallback_match=True)
+        except ImportReport:
+            unused = sorted(set(enc_init) - set(enc_map))
+            raise ImportReport(
+                f"[encoder] {len(missing)}/{len(enc_map)} expected tensors "
+                f"missing even after shape/topology fallback, e.g. "
+                f"{missing[:6]}; {len(unused)} unmatched names in the file, "
+                f"e.g. {unused[:12]}")
     return enc_params, dec_params, joi_params
 
 
@@ -543,6 +675,7 @@ def load_vibert(path, cfg=None):
                            n_d_tags=n_d_tags)
     params = init_vibert_params(jax.random.PRNGKey(0), cfg)
     map_initializers(init, vibert_name_map(params, cfg), strict=True,
+                     fallback_match=True,
                      label="vibert")
     return params, cfg
 
@@ -638,6 +771,7 @@ def load_pyannet(path, cfg=None):
         for d in ("fwd", "bwd"):
             layer[d]["b"] = jnp.zeros_like(layer[d]["b"])
     map_initializers(init, pyannet_name_map(params, cfg), strict=True,
+                     fallback_match=True,
                      label="pyannet")
     return params, cfg
 
@@ -674,11 +808,16 @@ def campp_name_map(params, cfg):
     m = {}
 
     def bn(prefix, node, affine=True):
+        # Grouped with identity defaults: exporters may constant-fold BN
+        # into the preceding conv, in which case the whole group is absent
+        # and identity stats reproduce the folded graph exactly
+        # (var = 1 - eps with the model's eps = 1e-5).
         if affine:
-            m[f"{prefix}.weight"] = (setter(node, "scale"), None)
-            m[f"{prefix}.bias"] = (setter(node, "bias"), None)
-        m[f"{prefix}.running_mean"] = (setter(node, "mean"), None)
-        m[f"{prefix}.running_var"] = (setter(node, "var"), None)
+            m[f"{prefix}.weight"] = (setter(node, "scale"), None, prefix, 1.0)
+            m[f"{prefix}.bias"] = (setter(node, "bias"), None, prefix, 0.0)
+        m[f"{prefix}.running_mean"] = (setter(node, "mean"), None, prefix, 0.0)
+        m[f"{prefix}.running_var"] = (setter(node, "var"), None, prefix,
+                                      1.0 - 1e-5)
 
     fcm = params["fcm"]
     m["head.conv1.weight"] = (setter(fcm["conv1"], "weight"), conv2d_t)
@@ -769,6 +908,7 @@ def load_campp(path, cfg=None):
                           embed_dim=embed)
     params = init_campp_params(jax.random.PRNGKey(0), cfg)
     map_initializers(init, campp_name_map(params, cfg), strict=True,
+                     fallback_match=True,
                      label="campp")
     return params, cfg
 
@@ -875,6 +1015,7 @@ def load_convtasnet(path, cfg=None):
             n_src=init["masker.mask_net.1.weight"].shape[0] // n_filters)
     params = init_convtasnet_params(jax.random.PRNGKey(0), cfg)
     map_initializers(init, convtasnet_name_map(params, cfg), strict=True,
+                     fallback_match=True,
                      label="convtasnet")
     return params, cfg
 
@@ -1073,10 +1214,12 @@ def resnet_speaker_name_map(params, cfg):
     m = {}
 
     def bn(prefix, node):
-        m[f"{prefix}.weight"] = (setter(node, "scale"), None)
-        m[f"{prefix}.bias"] = (setter(node, "bias"), None)
-        m[f"{prefix}.running_mean"] = (setter(node, "mean"), None)
-        m[f"{prefix}.running_var"] = (setter(node, "var"), None)
+        # Identity-default group for exporter-folded BN (eps = 1e-5).
+        m[f"{prefix}.weight"] = (setter(node, "scale"), None, prefix, 1.0)
+        m[f"{prefix}.bias"] = (setter(node, "bias"), None, prefix, 0.0)
+        m[f"{prefix}.running_mean"] = (setter(node, "mean"), None, prefix, 0.0)
+        m[f"{prefix}.running_var"] = (setter(node, "var"), None, prefix,
+                                      1.0 - 1e-5)
 
     m["resnet.conv1.weight"] = (setter(params, "conv1"), conv_t)
     bn("resnet.bn1", params["bn1"])
@@ -1128,6 +1271,7 @@ def load_resnet_speaker(encoder_onnx_path, weight_npy_path, bias_npy_path,
                                   embed_dim=w.shape[0])
     params = init_resnet_params(jax.random.PRNGKey(0), cfg)
     map_initializers(init, resnet_speaker_name_map(params, cfg), strict=True,
+                     fallback_match=True,
                      label="resnet")
     params["proj"] = {"weight": jnp.asarray(np.load(weight_npy_path)),
                       "bias": jnp.asarray(np.load(bias_npy_path))}

@@ -284,6 +284,11 @@ def streaming_step(params, state, fbank_chunk,
             with the cached lookback this yields chunk_frames embed frames.
     Returns (enc_out [B, chunk_frames//2, output_dim], new_state).
     """
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        return _streaming_step_body(params, state, fbank_chunk, cfg, scfg)
+
+
+def _streaming_step_body(params, state, fbank_chunk, cfg, scfg):
     b = fbank_chunk.shape[0]
     new_state = {"stacks": []}
 

@@ -36,9 +36,13 @@ def _attn_kernel(lens_ref, q_ref, k_ref, p_ref, poslin_ref, out_ref,
     q = q_ref[0]            # [R, qd]
     k = k_ref[0]            # [T, qd]
     p = p_ref[0]            # [R, pd]
+    # Precision pinned explicitly: Mosaic cannot lower the HIGH precision
+    # a caller's jax.default_matmul_precision context would inject (the
+    # fp32-fast serving mode wraps the XLA encoder in one).
     scores = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # [R, T]
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)  # [R, T]
 
     # Banded position scores: rows j = s + (T-1) - t of the REVERSED pos
     # table, t = i*R + t'. Local band column = s + (R-1) - t'.
@@ -47,7 +51,8 @@ def _attn_kernel(lens_ref, q_ref, k_ref, p_ref, poslin_ref, out_ref,
     pos_sub = poslin_ref[0, pl.ds(start, t_pad + r - 1), :]  # [T+R-1, pd]
     band = jax.lax.dot_general(
         p, pos_sub, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # [R, T+R-1]
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)  # [R, T+R-1]
     # skew: out[t', s] = band[t', s + (R-1-t')]. Mosaic has no flat-reshape
     # skew, so apply per-row shifts via log2(R) conditional rolls: row t'
     # needs a left-roll of (R-1-t'); decompose the shift into binary bits.

@@ -121,7 +121,8 @@ def _beam_kernel(lens_ref, enc_ref, emb_hi_ref, emb_mid_ref,
             a_lo = (a - a_hi.astype(f32)).astype(jnp.bfloat16)
             b_hi = bm.astype(jnp.bfloat16)
             b_lo = (bm - b_hi.astype(f32)).astype(jnp.bfloat16)
-            dg = lambda p, q: jnp.dot(p, q, preferred_element_type=f32)
+            dg = lambda p, q: jnp.dot(p, q, preferred_element_type=f32,
+                                      precision=jax.lax.Precision.DEFAULT)
             return dg(a_hi, b_hi) + dg(a_hi, b_lo) + dg(a_lo, b_hi)
     else:
         def dot(a, bm):
@@ -192,11 +193,14 @@ def _beam_kernel(lens_ref, enc_ref, emb_hi_ref, emb_mid_ref,
         # tmp[j, :] = [delta[:, tok_j].T | next_state[:, tok_j].T] via one
         # exact-f32 3-pass one-hot matmul against the [V, 2*S_pad]
         # transposed tables.
-        tmp = (jnp.dot(onehot, tbl_hi_ref[...], preferred_element_type=f32)
+        dflt = jax.lax.Precision.DEFAULT
+        tmp = (jnp.dot(onehot, tbl_hi_ref[...], preferred_element_type=f32,
+                       precision=dflt)
                + jnp.dot(onehot, tbl_mid_ref[...],
-                         preferred_element_type=f32)
+                         preferred_element_type=f32, precision=dflt)
                + jnp.dot(onehot, tbl_lo_ref[...],
-                         preferred_element_type=f32))     # [B*beam, 2*S_pad]
+                         preferred_element_type=f32,
+                         precision=dflt))                 # [B*beam, 2*S_pad]
         delta_rows = tmp[:, :s_pad].reshape(b, beam, s_pad)
         next_rows = tmp[:, s_pad:].reshape(b, beam, s_pad)
         # Row select by parent state: f32 one-hot over S_pad (compare in
@@ -260,9 +264,13 @@ def _beam_kernel(lens_ref, enc_ref, emb_hi_ref, emb_mid_ref,
     # ---- new context embeddings ----------------------------------------
     # Exact f32 row fetch in 3 bf16 MXU passes: emb = hi + mid + lo with 8
     # mantissa bits each (24 total = f32), and onehot (0/1) is bf16-exact.
-    emb_new = (jnp.dot(onehot, emb_hi_ref[...], preferred_element_type=f32)
-               + jnp.dot(onehot, emb_mid_ref[...], preferred_element_type=f32)
-               + jnp.dot(onehot, emb_lo_ref[...], preferred_element_type=f32))
+    demb = jax.lax.Precision.DEFAULT
+    emb_new = (jnp.dot(onehot, emb_hi_ref[...], preferred_element_type=f32,
+                       precision=demb)
+               + jnp.dot(onehot, emb_mid_ref[...], preferred_element_type=f32,
+                         precision=demb)
+               + jnp.dot(onehot, emb_lo_ref[...], preferred_element_type=f32,
+                         precision=demb))
     emb_new = emb_new.reshape(b, beam, d)
     blank3 = tok[:, :, None] == blank_id
     new_e0 = jnp.where(blank3, p_e0, p_e1)

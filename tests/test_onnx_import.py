@@ -24,7 +24,7 @@ def _tensor_proto(name, arr, use_raw=True):
     return out
 
 
-def _node_proto(op, inputs, outputs, name="n"):
+def _node_proto(op, inputs, outputs, name="n", attrs=b""):
     out = b""
     for i in inputs:
         out += pw.write_field(1, 2, i.encode())
@@ -32,7 +32,16 @@ def _node_proto(op, inputs, outputs, name="n"):
         out += pw.write_field(2, 2, o.encode())
     out += pw.write_field(3, 2, name.encode())
     out += pw.write_field(4, 2, op.encode())
+    out += attrs
     return out
+
+
+def _const_node(name, arr):
+    """(op, ins, outs, attr_bytes) tuple for a Constant node carrying a
+    tensor `value` attribute — how some real exports ship weights."""
+    attr = pw.write_field(1, 2, b"value") \
+        + pw.write_field(5, 2, _tensor_proto("", arr))
+    return ("Constant", [], [name], pw.write_field(5, 2, attr))
 
 
 def _value_info(name):
@@ -41,8 +50,10 @@ def _value_info(name):
 
 def make_onnx(tensors, nodes=(), inputs=(), outputs=(), use_raw=True):
     graph = b""
-    for op, ins, outs in nodes:
-        graph += pw.write_field(1, 2, _node_proto(op, ins, outs))
+    for entry in nodes:
+        op, ins, outs = entry[:3]
+        attrs = entry[3] if len(entry) > 3 else b""
+        graph += pw.write_field(1, 2, _node_proto(op, ins, outs, attrs=attrs))
     for name, arr in tensors.items():
         graph += pw.write_field(5, 2, _tensor_proto(name, arr, use_raw))
     for n in inputs:
@@ -188,18 +199,8 @@ def test_encoder_roundtrip_via_name_map(tmp_path, rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
-def test_vibert_roundtrip_via_name_map(tmp_path, rng):
-    """Synthesize a ViBERT ONNX with HF initializer names from random
-    params, import it, and check the forward matches the source params."""
-    import jax
-    import jax.numpy as jnp
-
-    from sherpa_vietnamese_asr_tpu.models.onnx_import import load_vibert
-    from sherpa_vietnamese_asr_tpu.models.vibert import (
-        TINY_VIBERT, init_vibert_params, vibert_forward,
-    )
-
-    src = init_vibert_params(jax.random.PRNGKey(7), TINY_VIBERT)
+def _vibert_tensors(src):
+    """HF-named torch-layout tensors for a ViBERT param tree."""
     t = {
         "bert.embeddings.word_embeddings.weight": src["word_emb"],
         "bert.embeddings.position_embeddings.weight": src["pos_emb"],
@@ -225,7 +226,22 @@ def test_vibert_roundtrip_via_name_map(tmp_path, rng):
                          ("output.LayerNorm", "ffn_ln")):
             t[f"{lb}.{hf}.weight"] = lp[ours]["scale"]
             t[f"{lb}.{hf}.bias"] = lp[ours]["bias"]
-    t = {k: np.asarray(v) for k, v in t.items()}
+    return {k: np.asarray(v) for k, v in t.items()}
+
+
+def test_vibert_roundtrip_via_name_map(tmp_path, rng):
+    """Synthesize a ViBERT ONNX with HF initializer names from random
+    params, import it, and check the forward matches the source params."""
+    import jax
+    import jax.numpy as jnp
+
+    from sherpa_vietnamese_asr_tpu.models.onnx_import import load_vibert
+    from sherpa_vietnamese_asr_tpu.models.vibert import (
+        TINY_VIBERT, init_vibert_params, vibert_forward,
+    )
+
+    src = init_vibert_params(jax.random.PRNGKey(7), TINY_VIBERT)
+    t = _vibert_tensors(src)
     p = tmp_path / "vibert-capu.onnx"
     p.write_bytes(make_onnx(t))
 
@@ -314,6 +330,39 @@ def test_pyannet_roundtrip_via_name_map(tmp_path, rng):
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def _campp_inv_tensors(src):
+    """3D-Speaker-named torch-layout tensors for a CAM++ param tree,
+    built by inverting the name map's transforms."""
+    from sherpa_vietnamese_asr_tpu.models.campplus import TINY_CAMPP
+    from sherpa_vietnamese_asr_tpu.models.onnx_import import campp_name_map
+
+    inv = {}
+    for name, entry in campp_name_map(src, TINY_CAMPP).items():
+        set_fn, transform = entry[0], entry[1]
+        node = key = None
+        for cell in set_fn.__closure__:
+            v = cell.cell_contents
+            if isinstance(v, str):
+                key = v
+            elif isinstance(v, dict):
+                node = v
+        arr = np.asarray(node[key])
+        if transform is None:
+            inv[name] = arr
+        else:
+            tname = transform.__name__
+            if tname == "lin_t" or tname == "conv1x1_lin_t":
+                inv[name] = arr.T if tname == "lin_t" else arr.T[:, :, None]
+            elif tname == "conv2d_t":
+                # [kT, kF, I, O] -> [O, I, kF, kT] (self-inverse)
+                inv[name] = np.transpose(arr, (3, 2, 1, 0))
+            elif tname == "conv1d_t":
+                inv[name] = np.transpose(arr, (2, 1, 0))
+            else:
+                raise AssertionError(tname)
+    return inv
+
+
 def test_campp_roundtrip_via_name_map(tmp_path, rng):
     """Synthesize a CAM++ ONNX with 3D-Speaker state-dict names and check
     the imported embedding matches the source params."""
@@ -343,30 +392,7 @@ def test_campp_roundtrip_via_name_map(tmp_path, rng):
                 walk(v)
     walk(src)
 
-    # invert the name map's transforms to synthesize torch-layout tensors
-    inv = {}
-    for name, (set_fn, transform) in campp_name_map(src, TINY_CAMPP).items():
-        node = key = None
-        for cell in set_fn.__closure__:
-            v = cell.cell_contents
-            if isinstance(v, str):
-                key = v
-            elif isinstance(v, dict):
-                node = v
-        arr = np.asarray(node[key])
-        if transform is None:
-            inv[name] = arr
-        else:
-            tname = transform.__name__
-            if tname == "lin_t" or tname == "conv1x1_lin_t":
-                inv[name] = arr.T if tname == "lin_t" else arr.T[:, :, None]
-            elif tname == "conv2d_t":
-                # [kT, kF, I, O] -> [O, I, kF, kT] (self-inverse)
-                inv[name] = np.transpose(arr, (3, 2, 1, 0))
-            elif tname == "conv1d_t":
-                inv[name] = np.transpose(arr, (2, 1, 0))
-            else:
-                raise AssertionError(tname)
+    inv = _campp_inv_tensors(src)
     p = tmp_path / "campplus_cn_en_common_200k.onnx"
     p.write_bytes(make_onnx({k: np.ascontiguousarray(v)
                              for k, v in inv.items()}))
@@ -402,8 +428,9 @@ def test_convtasnet_roundtrip_via_name_map(tmp_path, rng):
         blk["prelu2"] = jnp.asarray([0.15], jnp.float32)
 
     inv = {}
-    for name, (set_fn, transform) in convtasnet_name_map(
+    for name, entry in convtasnet_name_map(
             src, TINY_CONVTASNET).items():
+        set_fn, transform = entry[0], entry[1]
         node = key = None
         for cell in set_fn.__closure__:
             v = cell.cell_contents
@@ -470,8 +497,9 @@ def test_resnet_speaker_roundtrip_via_name_map(tmp_path, rng):
     walk(src)
 
     inv = {}
-    for name, (set_fn, transform) in resnet_speaker_name_map(
+    for name, entry in resnet_speaker_name_map(
             src, TINY_RESNET).items():
+        set_fn, transform = entry[0], entry[1]
         node = key = None
         for cell in set_fn.__closure__:
             v = cell.cell_contents
@@ -507,3 +535,155 @@ def test_resnet_speaker_roundtrip_via_name_map(tmp_path, rng):
     np.testing.assert_allclose(
         np.asarray(project_embedding(src, stats)),
         np.asarray(project_embedding(params, stats)), atol=1e-5)
+
+
+# ---- realistic export perturbations (VERDICT round-2 #5b) ----------------
+# Real exports differ from idealized synthesized ones: renamed
+# initializers, BatchNorm constant-folded into convs, weights shipped as
+# Constant nodes (reference build-portable/prepare_offline_build.py
+# conversions exhibit all three). Each perturbation is applied to a
+# synthesized export and the import must still reproduce the forward.
+
+
+def test_fallback_match_opaque_renames(tmp_path, rng):
+    """Every ViBERT initializer renamed to an opaque symbol (file order =
+    state-dict order, as torch exports keep): the importer must resolve
+    purely by destination shape + file order."""
+    import jax
+    import jax.numpy as jnp
+
+    from sherpa_vietnamese_asr_tpu.models.onnx_import import (
+        load_vibert, vibert_name_map,
+    )
+    from sherpa_vietnamese_asr_tpu.models.vibert import (
+        TINY_VIBERT, init_vibert_params, vibert_forward,
+    )
+
+    src = init_vibert_params(jax.random.PRNGKey(3), TINY_VIBERT)
+    t = _vibert_tensors(src)
+    order = [k for k in vibert_name_map(src, TINY_VIBERT) if k in t]
+    assert len(order) == len(t)  # map covers the whole export
+    renamed = {f"p{i:03d}": t[k] for i, k in enumerate(order)}
+    p = tmp_path / "vibert-renamed.onnx"
+    p.write_bytes(make_onnx(renamed))
+
+    params, cfg = load_vibert(str(p), cfg=TINY_VIBERT)
+    ids = jnp.asarray(rng.integers(0, TINY_VIBERT.vocab_size, (2, 12)),
+                      jnp.int32)
+    mask = jnp.ones((2, 12), jnp.int32)
+    types = jnp.zeros((2, 12), jnp.int32)
+    offs = jnp.asarray(np.tile(np.arange(6), (2, 1)), jnp.int32)
+    a1, b1 = vibert_forward(src, ids, mask, types, offs, TINY_VIBERT)
+    a2, b2 = vibert_forward(params, ids, mask, types, offs, cfg)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), atol=1e-5)
+
+
+def test_campp_folded_bn_group_defaults(tmp_path, rng):
+    """Exporter constant-folds BatchNorm into the preceding conv: the BN
+    initializer group vanishes from the file. The importer must fill
+    identity stats (scale=1, bias=0, mean=0, var=1-eps) so the folded
+    graph is reproduced exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from sherpa_vietnamese_asr_tpu.models.campplus import (
+        TINY_CAMPP, campp_embed, init_campp_params,
+    )
+    from sherpa_vietnamese_asr_tpu.models.onnx_import import (
+        campp_name_map, load_campp,
+    )
+
+    src = init_campp_params(jax.random.PRNGKey(11), TINY_CAMPP)
+    # Source BN at exact identity — what a folded graph is equivalent to.
+    def walk(node):
+        if isinstance(node, dict):
+            if "mean" in node and "var" in node:
+                node["mean"] = jnp.zeros_like(node["mean"])
+                node["var"] = jnp.full_like(node["var"], 1.0 - 1e-5)
+                if "scale" in node:
+                    node["scale"] = jnp.ones_like(node["scale"])
+                if "bias" in node:
+                    node["bias"] = jnp.zeros_like(node["bias"])
+            for v in node.values():
+                walk(v)
+        elif isinstance(node, list):
+            for v in node:
+                walk(v)
+    walk(src)
+
+    inv = _campp_inv_tensors(src)
+    grouped = {k for k, e in campp_name_map(src, TINY_CAMPP).items()
+               if len(e) == 4}
+    assert grouped  # the map declares BN fold groups
+    for k in grouped:
+        inv.pop(k)
+    p = tmp_path / "campplus_folded.onnx"
+    p.write_bytes(make_onnx({k: np.ascontiguousarray(v)
+                             for k, v in inv.items()}))
+
+    params, cfg = load_campp(str(p))
+    fb = jnp.asarray(rng.standard_normal((2, 150, 80)).astype(np.float32))
+    a = np.asarray(campp_embed(src, fb, TINY_CAMPP))
+    b = np.asarray(campp_embed(params, fb, cfg))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_campp_partial_bn_group_raises(tmp_path, rng):
+    """A PARTIALLY missing BN group is a mapping bug, not a fold — it
+    must raise ImportReport, not silently default."""
+    import jax
+    import pytest
+
+    from sherpa_vietnamese_asr_tpu.models.campplus import (
+        TINY_CAMPP, init_campp_params,
+    )
+    from sherpa_vietnamese_asr_tpu.models.onnx_import import (
+        ImportReport, campp_name_map, load_campp,
+    )
+
+    src = init_campp_params(jax.random.PRNGKey(12), TINY_CAMPP)
+    inv = _campp_inv_tensors(src)
+    grouped = sorted(k for k, e in campp_name_map(src, TINY_CAMPP).items()
+                     if len(e) == 4 and k.endswith(".running_mean"))
+    inv.pop(grouped[0])  # drop ONE member of one group
+    p = tmp_path / "campplus_partial.onnx"
+    p.write_bytes(make_onnx({k: np.ascontiguousarray(v)
+                             for k, v in inv.items()}))
+    with pytest.raises(ImportReport):
+        load_campp(str(p))
+
+
+def test_constant_node_weights_fold(tmp_path, rng):
+    """Weights shipped as Constant nodes (not graph initializers) must be
+    folded into the initializer table by read_onnx; config inference and
+    the name map then see them uniformly."""
+    import jax
+    import jax.numpy as jnp
+
+    from sherpa_vietnamese_asr_tpu.models.onnx_import import load_vibert
+    from sherpa_vietnamese_asr_tpu.models.vibert import (
+        TINY_VIBERT, init_vibert_params, vibert_forward,
+    )
+
+    src = init_vibert_params(jax.random.PRNGKey(4), TINY_VIBERT)
+    t = _vibert_tensors(src)
+    consts = []
+    for name in ("classifier.weight", "detector.weight"):
+        consts.append(_const_node(name, t.pop(name)))
+    p = tmp_path / "vibert-const.onnx"
+    p.write_bytes(make_onnx(t, nodes=consts))
+
+    params, cfg = load_vibert(str(p))  # cfg inference reads the constants
+    assert cfg.n_labels == TINY_VIBERT.n_labels
+    import dataclasses
+    cfg = dataclasses.replace(cfg, heads=TINY_VIBERT.heads)
+    ids = jnp.asarray(rng.integers(0, TINY_VIBERT.vocab_size, (2, 12)),
+                      jnp.int32)
+    mask = jnp.ones((2, 12), jnp.int32)
+    types = jnp.zeros((2, 12), jnp.int32)
+    offs = jnp.asarray(np.tile(np.arange(6), (2, 1)), jnp.int32)
+    a1, b1 = vibert_forward(src, ids, mask, types, offs, TINY_VIBERT)
+    a2, b2 = vibert_forward(params, ids, mask, types, offs, cfg)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), atol=1e-5)
