@@ -306,7 +306,13 @@ def _feed_forward(p, x, dt):
 
 
 def _attention_weights(p, x, pos_emb, mask, heads, cfg):
-    """Shared attention weights: softmax(q k^T + pos_scores). [B, H, T, T]."""
+    """Shared attention weights: softmax(q k^T + pos_scores).
+
+    Returns [B, H, S, T] KEYS-MAJOR: out[b, h, s, t] is key s's weight for
+    query t. (The Pallas kernel produces this orientation natively — its
+    skew then runs along sublanes — and dot_general contracts the leading
+    key axis on the MXU at no extra cost.)
+    """
     dt = jnp.dtype(cfg.compute_dtype)
     b, t, d = x.shape
     qd, pd = cfg.query_head_dim, cfg.pos_head_dim
@@ -346,25 +352,28 @@ def _attention_weights(p, x, pos_emb, mask, heads, cfg):
     scores = (scores + pos_scores).astype(jnp.float32)
     if mask is not None:
         scores = jnp.where(mask[:, None, None, :], -1e9, scores)
-    return jax.nn.softmax(scores, axis=-1)
+    return jnp.swapaxes(jax.nn.softmax(scores, axis=-1), 2, 3)
 
 
 def _self_attention(p, x, attn_w, heads, vd, dt):
+    """attn_w: [B, H, S, T] keys-major."""
     b, t, _ = x.shape
     v = linear(jax.tree.map(lambda a: a.astype(dt), p["in_proj"]), x.astype(dt))
     v = v.reshape(b, t, heads, vd)
-    out = jnp.einsum("bhts,bshd->bthd", attn_w.astype(dt), v)
+    out = jnp.einsum("bhst,bshd->bthd", attn_w.astype(dt), v)
     out = out.reshape(b, t, heads * vd)
     return linear(jax.tree.map(lambda a: a.astype(dt), p["out_proj"]), out).astype(jnp.float32)
 
 
 def _nonlin_attention(p, x, attn_w1, dt):
-    """NonlinAttention: gated single-head attention (uses head 0 weights)."""
+    """NonlinAttention: gated single-head attention (uses head 0 weights).
+
+    attn_w1: [B, S, T] keys-major."""
     b, t, _ = x.shape
     proj = linear(jax.tree.map(lambda a: a.astype(dt), p["in_proj"]), x.astype(dt))
     s, v, y = jnp.split(proj, 3, axis=-1)
     v = jnp.tanh(s) * v
-    out = jnp.einsum("bts,bsd->btd", attn_w1.astype(dt), v)
+    out = jnp.einsum("bst,bsd->btd", attn_w1.astype(dt), v)
     out = out * y
     return linear(jax.tree.map(lambda a: a.astype(dt), p["out_proj"]), out).astype(jnp.float32)
 

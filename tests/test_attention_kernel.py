@@ -53,7 +53,7 @@ def test_pallas_attention_matches_xla(t, lens_list):
         valid[i, :, :ln, :ln] = True
     # bf16 attention-weight quantization bounds the error
     assert np.abs(got - ref)[valid].max() < 2e-2
-    # rows sum to ~1 on valid queries
-    sums = got.sum(-1)
+    # key axis (now -2: keys-major layout) sums to ~1 on valid queries
+    sums = got.sum(-2)
     for i, ln in enumerate(lens):
         np.testing.assert_allclose(sums[i, :, :ln], 1.0, atol=2e-2)
