@@ -10,9 +10,10 @@
 #     merge-by-cosine 0.875;
 #   * post rules (:776-819): merge gap <= 4 s, drop <= 0.78 s fragments,
 #     re-rank speakers by total speaking time.
-# Environment gates: `umap`/`hdbscan` packages are absent here, so the long-
-# audio path uses sklearn HDBSCAN over a PCA reduction (documented
-# substitution; the spectral path — the common case — is exact).
+# The long-audio (>= 20 min) route runs on first-party UMAP + HDBSCAN
+# (utils/clustering.py + native/clusterkit.cpp — the third-party packages the
+# reference uses are absent here); HDBSCAN is oracle-validated exactly
+# against sklearn's independent implementation (tests/test_clustering.py).
 
 from __future__ import annotations
 
@@ -102,30 +103,22 @@ def senko_spectral(x, min_num_spks=1, max_num_spks=10, pval=0.02,
 
 def senko_umap_hdbscan(x, n_neighbors=20, n_components=60, min_samples=20,
                        min_cluster_size=10, metric="euclidean"):
-    """Senko UmapHdbscan. `umap`/`hdbscan` are gated: when absent, PCA +
-    sklearn HDBSCAN substitute (same downstream rules)."""
+    """Senko UmapHdbscan (long-audio route), same parameters as the
+    reference call (speaker_diarization_senko_campp.py:263-281) on the
+    first-party UMAP + HDBSCAN implementations (utils/clustering.py,
+    native/clusterkit.cpp). Deterministic under the pinned layout seed —
+    a deliberate improvement over the reference's run-to-run variance."""
+    del metric  # euclidean only, like the reference call site
+    from sherpa_vietnamese_asr_tpu.utils.clustering import (
+        hdbscan_labels,
+        umap_embed,
+    )
+
     n_comp = max(min(n_components, x.shape[0] - 2), 2)
-    try:
-        import umap
-
-        red = umap.UMAP(n_neighbors=n_neighbors, min_dist=0.0,
-                        n_components=n_comp, metric=metric).fit_transform(x)
-    except ImportError:
-        from sklearn.decomposition import PCA
-
-        red = PCA(n_components=min(n_comp, min(x.shape) - 1)).fit_transform(x)
-    try:
-        import hdbscan
-
-        labels = hdbscan.HDBSCAN(min_samples=min_samples,
-                                 min_cluster_size=min_cluster_size
-                                 ).fit_predict(red)
-    except ImportError:
-        from sklearn.cluster import HDBSCAN
-
-        labels = HDBSCAN(min_samples=min_samples,
-                         min_cluster_size=min_cluster_size).fit_predict(red)
-    return labels.astype(np.int32)
+    red = umap_embed(x, n_neighbors=n_neighbors, min_dist=0.0,
+                     n_components=n_comp)
+    return hdbscan_labels(red, min_samples=min_samples,
+                          min_cluster_size=min_cluster_size)
 
 
 def senko_cluster(x, cluster_type="umap_hdbscan", cluster_line=10,

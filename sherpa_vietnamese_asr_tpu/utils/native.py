@@ -1,8 +1,9 @@
-# ctypes loader for the native audiokit library (native/audiokit.cpp).
+# ctypes loaders for the native host-side libraries (native/*.cpp).
 #
-# Builds the shared library on demand with g++ (the toolchain is part of the
-# target environment); every entry point has a pure-numpy fallback in
-# utils/audio_io.py, so the framework works without a compiler too.
+# Builds the shared libraries on demand with g++ (the toolchain is part of
+# the target environment); every entry point has a pure-numpy fallback
+# (utils/audio_io.py for audiokit, utils/clustering.py for clusterkit), so
+# the framework works without a compiler too.
 
 from __future__ import annotations
 
@@ -21,8 +22,8 @@ _lib = None
 _tried = False
 
 
-def _build():
-    cmd = ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB]
+def _build(src=_SRC, lib=_LIB):
+    cmd = ["g++", "-O3", "-shared", "-fPIC", src, "-o", lib]
     subprocess.run(cmd, check=True, capture_output=True, timeout=120)
 
 
@@ -82,6 +83,44 @@ def wav_decode_native(path):
     if rc != 0:
         return None
     return out, rate.value
+
+
+_CK_SRC = os.path.join(_NATIVE_DIR, "clusterkit.cpp")
+_CK_LIB = os.path.join(_NATIVE_DIR, "libclusterkit.so")
+_ck_lib = None
+_ck_tried = False
+
+
+def get_clusterkit():
+    """Load (building if needed) the clusterkit library; None if unavailable.
+
+    Hosts the UMAP SGD layout loop and the mutual-reachability Prim MST for
+    the Senko long-audio diarization path (see utils/clustering.py)."""
+    global _ck_lib, _ck_tried
+    with _lock:
+        if _ck_lib is not None or _ck_tried:
+            return _ck_lib
+        _ck_tried = True
+        try:
+            if not os.path.exists(_CK_LIB) or (
+                    os.path.getmtime(_CK_LIB) < os.path.getmtime(_CK_SRC)):
+                _build(_CK_SRC, _CK_LIB)
+            lib = ctypes.CDLL(_CK_LIB)
+        except (OSError, subprocess.SubprocessError):
+            return None
+        c = ctypes
+        lib.ck_umap_layout.restype = c.c_int
+        lib.ck_umap_layout.argtypes = [
+            c.POINTER(c.c_float), c.c_int64, c.c_int32,
+            c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+            c.POINTER(c.c_double), c.c_int64, c.c_int32,
+            c.c_float, c.c_float, c.c_float, c.c_int32, c.c_uint64]
+        lib.ck_mr_mst.restype = c.c_int
+        lib.ck_mr_mst.argtypes = [
+            c.POINTER(c.c_float), c.POINTER(c.c_float), c.c_int64, c.c_int32,
+            c.POINTER(c.c_int32), c.POINTER(c.c_int32), c.POINTER(c.c_float)]
+        _ck_lib = lib
+        return _ck_lib
 
 
 def resample_native(x, sr_in, sr_out, num_zeros=16):

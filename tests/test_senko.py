@@ -39,7 +39,9 @@ def test_senko_cluster_minor_filter_and_merge(rng):
     assert (senko_cluster(small, cluster_type="spectral") == 1).all()
 
 
-def test_umap_hdbscan_fallback_path(rng):
+def test_umap_hdbscan_long_audio_route(rng):
+    """First-party UMAP+HDBSCAN route (utils/clustering.py): separable
+    blobs must come back as exactly two clusters."""
     from sherpa_vietnamese_asr_tpu.pipeline.diarization_senko import (
         senko_umap_hdbscan,
     )
@@ -47,7 +49,10 @@ def test_umap_hdbscan_fallback_path(rng):
     x = np.concatenate([_blob(rng, a, 40), _blob(rng, b, 40)]).astype(
         np.float32)
     labels = senko_umap_hdbscan(x, min_samples=5, min_cluster_size=5)
-    assert labels.shape == (80,)  # runs via gated PCA+sklearn path
+    assert labels.shape == (80,)
+    assert len(set(labels[:40].tolist())) == 1
+    assert len(set(labels[40:].tolist())) == 1
+    assert labels[0] != labels[40]
 
 
 def test_senko_diarizer_end_to_end(rng):
