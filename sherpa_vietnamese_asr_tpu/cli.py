@@ -246,6 +246,25 @@ def cmd_bench(args):
     return 0
 
 
+def cmd_verify_assets(args):
+    """Real-asset rehearsal (models/verify_assets.py): hash -> import ->
+    JAX forward -> graph-executor cross-check -> token parity, per asset."""
+    import json
+
+    from sherpa_vietnamese_asr_tpu.models.verify_assets import (
+        format_report,
+        verify_assets,
+    )
+
+    keys = args.asset or None
+    report = verify_assets(keys)
+    if args.json:
+        print(json.dumps(report, indent=2))
+    else:
+        print(format_report(report))
+    return 0 if report["ok"] else 1
+
+
 def cmd_install_service(args):
     """Write a systemd unit (reference service_installer.py installs a
     Windows service; this is the Linux/TPU-host analogue)."""
@@ -386,6 +405,17 @@ def main(argv=None):
 
     b = sub.add_parser("bench", help="run the benchmark")
     b.set_defaults(fn=cmd_bench)
+
+    va = sub.add_parser(
+        "verify-assets",
+        help="verify downloaded checkpoints: pinned hashes, importer "
+             "mapping, JAX forward, first-party graph-executor "
+             "cross-check, decode token parity")
+    va.add_argument("--asset", action="append",
+                    help="restrict to one asset key (repeatable); "
+                         "default: all")
+    va.add_argument("--json", action="store_true")
+    va.set_defaults(fn=cmd_verify_assets)
 
     sv = sub.add_parser("install-service",
                         help="write a systemd unit for the API server "
