@@ -171,58 +171,22 @@ def cmd_serve(args):
                                  data_dir=args.data_dir,
                                  model_provider=model_provider)
     if args.warmup:
-        # Compile the hot programs before accepting work: one batch decode
-        # (fbank+encoder+beam) and one streaming step. First-request
-        # latency drops from minutes to milliseconds.
+        # Compile the hot programs before accepting work (first-request
+        # latency drops from minutes to milliseconds). Same shapes the
+        # pipeline will resolve for real requests (pipeline/warmup.py).
         import time as _t
 
-        import numpy as np
-
-        from sherpa_vietnamese_asr_tpu.pipeline.decoder import (
-            BatchedChunkDecoder,
+        from sherpa_vietnamese_asr_tpu.pipeline.warmup import (
+            warmup_programs,
         )
 
         t0 = _t.time()
         print("[serve] warmup: compiling decode + streaming programs...")
-        model = model_provider(None)
-        # Warm at the SAME batch shape the pipeline will resolve for real
-        # requests (calibration autotune / HBM heuristic) — warming a
-        # different shape would leave the first request to compile anyway.
-        from sherpa_vietnamese_asr_tpu.pipeline.calibration import (
-            resolve_max_batch,
-        )
-        warm_batch = resolve_max_batch({})
-        print(f"[serve] warmup: decode batch {warm_batch}")
-        dec = BatchedChunkDecoder(model, max_batch=warm_batch)
-        dummy = np.zeros(16000 * 34, np.float32)
-        dec.decode_spans(dummy, [(0, 16000 * 30)])
-        streamer = _state.get_streamer()
-        slot = streamer.open_stream()
-        streamer.accept_waveform(slot, np.zeros(16000 * 2, np.float32))
-        while streamer.ready_slots():
-            streamer.step()
-        streamer.close_stream(slot)
-        # Diarization + punctuation programs: the fused diarization
-        # superblock alone costs ~15 s of one-time trace per process
-        # (PERFORMANCE.md) — pay it here, not on the first user request.
-        warm_audio = np.zeros(16000 * 70, np.float32)
-        warm_audio[: 16000 * 65] = 0.05 * np.sin(
-            2 * np.pi * 300 * np.arange(16000 * 65) / 16000.0)
-        try:
-            from sherpa_vietnamese_asr_tpu.pipeline.diarization_pure import (
-                PureDiarizer,
-            )
-            PureDiarizer().process(warm_audio)
-        except Exception as e:
-            print(f"[serve] warmup: diarization skipped ({e})")
-        try:
-            from sherpa_vietnamese_asr_tpu.pipeline.punctuation import (
-                build_punctuation_restorer,
-            )
-            build_punctuation_restorer(model_dir=args.models_dir).restore(
-                "xin chao cac ban hom nay troi dep")
-        except Exception as e:
-            print(f"[serve] warmup: punctuation skipped ({e})")
+        warmup_programs(model_provider(None), models_dir=args.models_dir,
+                        stages=("decode", "streaming", "diarization",
+                                "punctuation"),
+                        log=lambda m: print(f"[serve] {m}"),
+                        streamer=_state.get_streamer())
         print(f"[serve] warmup done in {_t.time() - t0:.0f}s")
     print(f"[serve] listening on http://{args.host}:"
           f"{server.server_address[1]}")
@@ -243,6 +207,29 @@ def cmd_bench(args):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.main()
+    return 0
+
+
+def cmd_warmup(args):
+    """One-shot cache priming (pipeline/warmup.py): compile the flagship
+    programs so the persistent compilation cache (utils/jax_setup.py) makes
+    every later one-shot CLI run start at steady-state speed."""
+    import time as _t
+
+    from sherpa_vietnamese_asr_tpu.pipeline.warmup import (
+        STAGES,
+        warmup_programs,
+    )
+
+    stages = tuple(args.stages.split(",")) if args.stages else STAGES
+    t0 = _t.time()
+    model = _load_model(args)
+    timings = warmup_programs(model, models_dir=args.models_dir,
+                              stages=stages)
+    done = [k for k, v in timings.items() if v is not None]
+    print(f"[warmup] compiled {len(done)}/{len(timings)} stages "
+          f"({', '.join(done)}) in {_t.time() - t0:.0f}s; programs are in "
+          "the persistent cache.")
     return 0
 
 
@@ -405,6 +392,23 @@ def main(argv=None):
 
     b = sub.add_parser("bench", help="run the benchmark")
     b.set_defaults(fn=cmd_bench)
+
+    w = sub.add_parser(
+        "warmup",
+        help="compile the flagship programs once (persistent cache "
+             "priming: cold one-shot runs then start at steady speed)")
+    w.add_argument("--model", default="zipformer-30m-rnnt-6000h")
+    w.add_argument("--beam", type=int, default=8)
+    w.add_argument("--dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    w.add_argument("--models-dir", default=None)
+    w.add_argument("--allow-random", action="store_true",
+                   help="warm with random weights when no checkpoints "
+                        "exist (program shapes are weight-independent)")
+    w.add_argument("--stages", default=None,
+                   help="comma-separated subset of: decode,streaming,"
+                        "diarization,punctuation,quality,senko")
+    w.set_defaults(fn=cmd_warmup)
 
     va = sub.add_parser(
         "verify-assets",

@@ -1,0 +1,115 @@
+# Program warmup: compile the hot jitted programs once so later runs hit
+# the persistent compilation cache (utils/jax_setup.py) instead of paying
+# minutes of one-time XLA compiles.
+#
+# Two consumers:
+#   * `svt serve --warmup` — compile before accepting requests (first-request
+#     latency drops from minutes to milliseconds).
+#   * `svt warmup` — one-shot post-install cache priming: a cold CLI user's
+#     first real transcription then runs at steady-state speed. The reference
+#     has no equivalent because ORT sessions load in seconds; on a compiled
+#     TPU stack the cache-priming step IS the install-time analogue of the
+#     reference's model-download step (build-portable/prepare_offline_build.py).
+#
+# Every stage is independent and failure-isolated: a missing optional asset
+# skips that stage with a message instead of aborting the others.
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+STAGES = ("decode", "streaming", "diarization", "punctuation", "quality",
+          "senko")
+
+
+def warmup_programs(model, models_dir=None, stages=STAGES, log=print,
+                    streamer=None):
+    """Compile the flagship programs. Returns {stage: seconds | None}."""
+    timings = {}
+
+    def stage(name, fn):
+        if name not in stages:
+            return
+        t0 = time.time()
+        try:
+            fn()
+            timings[name] = time.time() - t0
+            log(f"[warmup] {name}: {timings[name]:.0f}s")
+        except Exception as e:  # stage-isolated by design
+            timings[name] = None
+            log(f"[warmup] {name} skipped ({e})")
+
+    def _decode():
+        from sherpa_vietnamese_asr_tpu.pipeline.calibration import (
+            resolve_max_batch,
+        )
+        from sherpa_vietnamese_asr_tpu.pipeline.decoder import (
+            BatchedChunkDecoder,
+        )
+
+        warm_batch = resolve_max_batch({})
+        log(f"[warmup] decode batch {warm_batch}")
+        dec = BatchedChunkDecoder(model, max_batch=warm_batch)
+        dummy = np.zeros(16000 * 34, np.float32)
+        dec.decode_spans(dummy, [(0, 16000 * 30)])
+
+    def _streaming():
+        if streamer is not None:
+            s = streamer
+        else:
+            from sherpa_vietnamese_asr_tpu.pipeline.streaming_online import (
+                MultiStreamRecognizer,
+            )
+
+            s = MultiStreamRecognizer(model)
+        slot = s.open_stream()
+        s.accept_waveform(slot, np.zeros(16000 * 2, np.float32))
+        while s.ready_slots():
+            s.step()
+        s.close_stream(slot)
+
+    def _diarization():
+        from sherpa_vietnamese_asr_tpu.pipeline.diarization_pure import (
+            PureDiarizer,
+        )
+
+        PureDiarizer().process(_warm_audio(70))
+
+    def _punctuation():
+        from sherpa_vietnamese_asr_tpu.pipeline.punctuation import (
+            build_punctuation_restorer,
+        )
+
+        build_punctuation_restorer(model_dir=models_dir).restore(
+            "xin chao cac ban hom nay troi dep")
+
+    def _quality():
+        from sherpa_vietnamese_asr_tpu.pipeline.quality import (
+            QualityAnalyzer,
+        )
+
+        QualityAnalyzer().analyze_speech(_warm_audio(12))
+
+    def _senko():
+        from sherpa_vietnamese_asr_tpu.pipeline.diarization_senko import (
+            SenkoCamppDiarizer,
+        )
+
+        SenkoCamppDiarizer().process(_warm_audio(70))
+
+    stage("decode", _decode)
+    stage("streaming", _streaming)
+    stage("diarization", _diarization)
+    stage("punctuation", _punctuation)
+    stage("quality", _quality)
+    stage("senko", _senko)
+    return timings
+
+
+def _warm_audio(seconds):
+    n = 16000 * seconds
+    audio = np.zeros(n + 16000 * 5, np.float32)
+    audio[:n] = 0.05 * np.sin(2 * np.pi * 300 * np.arange(n) / 16000.0)
+    return audio
