@@ -12,8 +12,9 @@ from sherpa_vietnamese_asr_tpu.models.zipformer import (
 )
 
 mode = sys.argv[1] if len(sys.argv) > 1 else "bfloat16"
+lk = sys.argv[2] if len(sys.argv) > 2 else "auto"
 import dataclasses
-cfg = dataclasses.replace(ZIPFORMER_30M, compute_dtype=mode)
+cfg = dataclasses.replace(ZIPFORMER_30M, compute_dtype=mode, layer_kernel=lk)
 params = init_zipformer_params(jax.random.PRNGKey(0), cfg)
 
 B, T = 8, 3300  # 33 s fbank frames
@@ -29,7 +30,7 @@ def loop(x):
     def body(i, acc):
         out, _ = zipformer_encoder(params, x + i.astype(jnp.float32) * 1e-6,
                                    lens, cfg)
-        return acc + out[0, 0, 0]
+        return acc + out.mean()
     return jax.lax.fori_loop(0, N, body, 0.0)
 
 
@@ -41,4 +42,4 @@ for it in range(3):
     t0 = time.perf_counter()
     np.asarray(loop(x * (1.0 + 1e-5 * it)))
     best = min(best, time.perf_counter() - t0)
-print(f"mode={mode}: encoder {(best - 0.031) / N * 1e3:.2f} ms per {B}x{T/100:.0f}s batch")
+print(f"mode={mode} lk={lk}: encoder {(best - 0.031) / N * 1e3:.2f} ms per {B}x{T/100:.0f}s batch")

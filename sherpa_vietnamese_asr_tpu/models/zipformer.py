@@ -49,6 +49,12 @@ class ZipformerConfig:
     # it on TPU backends, "never"/"always" force. The XLA path is the
     # numeric fallback/oracle.
     attention_kernel: str = "auto"
+    # Whole-layer Pallas megakernel (ops/encoder_layer.py): one pallas_call
+    # per encoder layer, full sequence resident in VMEM. "auto" enables it
+    # on TPU backends in bfloat16 compute mode for stacks whose estimated
+    # VMEM footprint fits; "never"/"always" force. Numeric contract: same
+    # math as the XLA bf16 path modulo bf16 rounding order.
+    layer_kernel: str = "auto"
     # Conv2dSubsampling channels
     embed_layer1_channels: int = 8
     embed_layer2_channels: int = 32
@@ -246,6 +252,17 @@ def encoder_embed(params, x, out_lens, cfg: ZipformerConfig):
 # ---------------------------------------------------------------------------
 # Relative positional encoding (CompactRelPositionalEncoding)
 # ---------------------------------------------------------------------------
+
+def _padded_rev_pos_emb(t: int, t_pad: int, pos_dim: int,
+                        r: int = 128) -> np.ndarray:
+    """[2*t_pad-1+r, pos_dim] REVERSED, zero-extended position table for the
+    layer megakernel: padded-table row j' holds offset o = (t_pad-1) - j',
+    original offsets only (zeros elsewhere). Trace-time constant."""
+    pe = compact_rel_pos_emb(t, pos_dim)
+    full = np.zeros((2 * t_pad - 1 + r, pos_dim), np.float32)
+    full[t_pad - t: t_pad - t + 2 * t - 1] = pe[::-1]
+    return full
+
 
 def compact_rel_pos_emb(t: int, pos_dim: int) -> np.ndarray:
     """[2T-1, pos_dim] compact relative positional embedding (trace-time const)."""
@@ -481,6 +498,38 @@ def init_zipformer_params(rng, cfg: ZipformerConfig = ZIPFORMER_30M):
     return params
 
 
+def _use_layer_kernel(cfg: ZipformerConfig, stack_idx: int, t_ds: int) -> bool:
+    """Gate for the whole-layer megakernel on stack `stack_idx`.
+
+    Measured window (v5 chip, 8x33 s batch, PERFORMANCE.md round-3 table):
+    the kernel wins 2.4x at t_pad=512/H=4 (mid stacks), but LOSES when the
+    attention-weights scratch squeezes VMEM (t_pad >= 896: 1.8x slower —
+    block pipelining stalls) and when blocks are tiny with many heads
+    (t_pad=256/H=8: 2.8x slower — fixed per-(block, head) overhead). The
+    gate encodes that window plus a VMEM estimate for other configs."""
+    if cfg.layer_kernel == "never":
+        return False
+    if cfg.layer_kernel == "always":
+        return True
+    if jax.default_backend() in ("cpu",):
+        return False
+    if jnp.dtype(cfg.compute_dtype) != jnp.bfloat16:
+        return False
+    from sherpa_vietnamese_asr_tpu.ops.encoder_layer import (
+        layer_kernel_vmem_bytes,
+    )
+    d = cfg.encoder_dim[stack_idx]
+    ff = cfg.ffn_dim[stack_idx]
+    heads = cfg.num_heads[stack_idx]
+    tp = -(-t_ds // 128) * 128
+    if heads > 4 or tp < 384:
+        return False
+    est = layer_kernel_vmem_bytes(
+        tp, d, heads, ((ff * 3) // 4, ff, (ff * 5) // 4),
+        cfg.cnn_module_kernel[stack_idx], cfg)
+    return est < 12 * 1024 * 1024
+
+
 def zipformer_encoder(params, x, x_lens, cfg: ZipformerConfig = ZIPFORMER_30M):
     """Run the encoder.
 
@@ -514,23 +563,45 @@ def _zipformer_encoder_body(params, x, x_lens, cfg):
         hs = simple_downsample(stack["downsample"], h, ds)
         t_ds = hs.shape[1]
         stack_lens = (lens + ds - 1) // ds
-        pad_mask = jnp.arange(t_ds)[None, :] >= stack_lens[:, None]
-        pos_emb = jnp.asarray(compact_rel_pos_emb(t_ds, cfg.pos_dim))
-        if len(stack["layers"]) == 1:
-            hs = encoder_layer(stack["layers"][0], hs, pos_emb, pad_mask,
-                               heads, cfg)
+        if _use_layer_kernel(cfg, i, t_ds):
+            from sherpa_vietnamese_asr_tpu.ops.encoder_layer import (
+                encoder_layer_pallas,
+            )
+            tp = -(-t_ds // 128) * 128
+            hs_p = jnp.pad(hs, ((0, 0), (0, tp - t_ds), (0, 0)))
+            rev = jnp.asarray(_padded_rev_pos_emb(t_ds, tp, cfg.pos_dim))
+            if len(stack["layers"]) == 1:
+                hs_p = encoder_layer_pallas(stack["layers"][0], hs_p, rev,
+                                            stack_lens, heads, cfg)
+            else:
+                stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                       *stack["layers"])
+
+                def kbody(carry, layer_params):
+                    return encoder_layer_pallas(
+                        layer_params, carry, rev, stack_lens, heads,
+                        cfg), None
+
+                hs_p, _ = jax.lax.scan(kbody, hs_p, stacked)
+            hs = hs_p[:, :t_ds]
         else:
-            # Scan over stacked layer params: one traced layer body per
-            # stack instead of num_layers copies (compile time on the
-            # single-core host is the bottleneck; numerics identical).
-            stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
-                                   *stack["layers"])
+            pad_mask = jnp.arange(t_ds)[None, :] >= stack_lens[:, None]
+            pos_emb = jnp.asarray(compact_rel_pos_emb(t_ds, cfg.pos_dim))
+            if len(stack["layers"]) == 1:
+                hs = encoder_layer(stack["layers"][0], hs, pos_emb, pad_mask,
+                                   heads, cfg)
+            else:
+                # Scan over stacked layer params: one traced layer body per
+                # stack instead of num_layers copies (compile time on the
+                # single-core host is the bottleneck; numerics identical).
+                stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                       *stack["layers"])
 
-            def body(carry, layer_params):
-                return encoder_layer(layer_params, carry, pos_emb, pad_mask,
-                                     heads, cfg), None
+                def body(carry, layer_params):
+                    return encoder_layer(layer_params, carry, pos_emb,
+                                         pad_mask, heads, cfg), None
 
-            hs, _ = jax.lax.scan(body, hs, stacked)
+                hs, _ = jax.lax.scan(body, hs, stacked)
         hs = simple_upsample(hs, ds)[:, :t_full]
         h = _bypass(stack["out_bypass_scale"], h_orig, hs) if ds != 1 else hs
         outputs.append(h)
