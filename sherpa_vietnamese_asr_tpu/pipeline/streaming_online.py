@@ -171,6 +171,14 @@ class CachedStreamingRecognizer:
     decoder context. One jitted step per 0.64 s chunk; state is an explicit
     pytree. Mirrors the reference's chunk-64 OnlineRecognizer
     (streaming_asr_online.py) without re-encoding.
+
+    The step is PIPELINED one chunk deep: decode() dispatches the current
+    chunk asynchronously and returns the PREVIOUS chunk's tokens, so the
+    ~31 ms host<->device round trip of this tunneled backend overlaps the
+    next chunk's capture instead of serializing with it (the same async-
+    dispatch pattern as pipeline/decoder.py). Token VALUES are identical
+    to the unpipelined step — only the return is one decode() call late;
+    get_result()/reset() drain the in-flight step first.
     """
 
     _FIXED_F0 = 3  # frame_cursor stays in [0, 3) after buffer trimming
@@ -193,8 +201,9 @@ class CachedStreamingRecognizer:
         self.sample_buffer = np.array([], np.float32)
         self.frame_cursor = 0  # fbank frames consumed so far
         self.ctx = jnp.zeros((1, 2), jnp.int32)  # decoder ctx (blank-init)
-        self.tokens = []
+        self._tokens = []
         self.total_samples = 0
+        self._pending = None  # in-flight (toks, counts) device arrays
 
     def accept_waveform(self, audio):
         audio = np.asarray(audio, np.float32)
@@ -211,8 +220,25 @@ class CachedStreamingRecognizer:
         return self._frames_available() - self.frame_cursor \
             >= 2 * self.scfg.chunk_frames
 
+    def _drain(self):
+        """Materialize the in-flight step's tokens into self._tokens."""
+        if self._pending is None:
+            return []
+        toks, counts = self._pending
+        self._pending = None
+        new = [int(t) for t in np.asarray(toks[0])[: int(counts[0])]]
+        self._tokens.extend(new)
+        return new
+
+    @property
+    def tokens(self):
+        """All emitted token ids (drains the in-flight step first)."""
+        self._drain()
+        return self._tokens
+
     def decode(self):
-        """Consume one chunk of fbank frames; returns newly emitted pieces.
+        """Consume one chunk of fbank frames; returns newly emitted pieces
+        (from the PREVIOUS in-flight chunk — see class docstring).
 
         One fused device dispatch; encoder state and decoder context stay
         on device between chunks.
@@ -230,15 +256,22 @@ class CachedStreamingRecognizer:
         if keep_from:
             self.sample_buffer = self.sample_buffer[keep_from:]
             self.frame_cursor -= keep_from // 160
+        new = self._drain()
         self.enc_state, self.ctx, toks, counts = self._step(
             self.model.enc_params, self.model.dec_params,
             self.model.joi_params, self.enc_state, self.ctx,
             jnp.asarray(wav), jnp.asarray([f0], jnp.int32), self._mask1)
-        new = [int(t) for t in np.asarray(toks[0])[: int(counts[0])]]
-        self.tokens.extend(new)
+        self._pending = (toks, counts)
         return new
 
     def get_result(self):
+        self._drain()
+        return self.peek_result()
+
+    def peek_result(self):
+        """Text from already-materialized tokens only — does NOT wait for
+        the in-flight step (partial display can lag one chunk; finals via
+        get_result are complete)."""
         id2tok = self.model.id2token
         pieces = [id2tok[t] if t < len(id2tok) else "" for t in self.tokens]
         return "".join(pieces).replace("▁", " ").strip().lower()
@@ -252,7 +285,8 @@ class CachedStreamingRecognizer:
 
         self.enc_state = init_streaming_state(self.model.zip_cfg, self.scfg, 1)
         self.ctx = jnp.zeros((1, 2), jnp.int32)
-        self.tokens = []
+        self._tokens = []
+        self._pending = None
         # Drop unconsumed buffered audio: reset starts a NEW utterance;
         # leftovers would otherwise leak into it.
         self.sample_buffer = np.array([], np.float32)
@@ -317,7 +351,12 @@ class OnlineStreamingSession:
         if not self.rec.is_ready():
             return
         self.rec.decode()
-        text = self.rec.get_result()
+        # peek (no drain): partial text may lag one chunk, but the decode
+        # step stays pipelined; finals (_finalize) use the draining
+        # get_result and are complete.
+        text = (self.rec.peek_result()
+                if hasattr(self.rec, "peek_result")
+                else self.rec.get_result())
         if text and text != self.last_text:
             ts = max(self.rec.total_samples / SAMPLE_RATE,
                      self.segment_start_samples / SAMPLE_RATE)
