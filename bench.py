@@ -14,6 +14,7 @@
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -43,9 +44,10 @@ def main():
     # bfloat16 serving mode: the idiomatic TPU inference dtype (MXU-native;
     # fp32 matmuls run as multi-pass emulation). The pipeline default stays
     # float32 for bit-stable transcripts; PERFORMANCE.md reports both.
+    dtype = os.environ.get("SVT_BENCH_DTYPE",
+                           "bfloat16" if on_tpu else "float32")
     model = random_asr_model(vocab_size=2000, beam_size=8,
-                             compute_dtype="bfloat16" if on_tpu
-                             else "float32")
+                             compute_dtype=dtype)
     rng = np.random.default_rng(0)
     # Speech-shaped synthetic audio (AM tones + noise); a distinct batch per
     # iteration so no caching layer can elide work.
@@ -87,7 +89,7 @@ def main():
     rtfx = audio_seconds / dt
     baseline_rtfx = 3600.0 / 77.1  # reference: 1 h in 77.1 s (BASELINE.md)
     print(json.dumps({
-        "metric": "rtfx_zipformer30m_beam8_bf16_per_chip",
+        "metric": f"rtfx_zipformer30m_beam8_{'bf16' if dtype == 'bfloat16' else 'fp32'}_per_chip",
         "value": round(rtfx, 2),
         "unit": "audio_sec/wall_sec",
         "vs_baseline": round(rtfx / baseline_rtfx, 3),

@@ -190,6 +190,17 @@ def _banded_freq_matrix(f_in: int) -> np.ndarray:
     return m
 
 
+def _banded_freq_matrix_s2(f_in: int) -> np.ndarray:
+    """[F, F', 3] one-hot band for a k3 STRIDE-2 VALID frequency conv:
+    M[f, f', d] = 1 iff f == 2*f' + d, F' = (F - 3)//2 + 1."""
+    f_out = (f_in - 3) // 2 + 1
+    m = np.zeros((f_in, f_out, 3), np.float32)
+    for fp in range(f_out):
+        for d in range(3):
+            m[2 * fp + d, fp, d] = 1.0
+    return m
+
+
 def encoder_embed(params, x, out_lens, cfg: ZipformerConfig):
     """[B, T, 80] -> [B, (T-7)//2, encoder_dim[0]].
 
@@ -216,10 +227,27 @@ def encoder_embed(params, x, out_lens, cfg: ZipformerConfig):
         [x[:, 0: t - 2], x[:, 1: t - 1], x[:, 2: t]], axis=-1).astype(dt)
     h = (taps @ w1).reshape(b, t - 2, f, c1)
     h = swoosh_r(h + params["conv1"]["bias"].astype(dt))
-    # conv2: k3, stride 2 both dims, no pad
-    h = jax.lax.conv_general_dilated(
-        h, params["conv2"]["weight"].astype(dt), (2, 2), [(0, 0), (0, 0)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    # conv2 (k3, stride 2 both dims, no pad) as a banded dense matmul, same
+    # trick as conv1: C_in=8 occupies 8/128 lanes as an NHWC conv and XLA
+    # lowers it at ~1 TFLOP/s (measured 2.4 ms of the 5.4 ms embed — the
+    # second-hottest op in the model). The banded matrix wastes 3x the
+    # conv's FLOPs on zeros but runs MXU-shaped.
+    t1 = h.shape[1]
+    t2 = (t1 - 3) // 2 + 1
+    f2 = (f - 3) // 2 + 1
+    k2 = params["conv2"]["weight"].astype(dt)  # [3(t), 3(f), C1, C2]
+    c2 = k2.shape[-1]
+    band2 = jnp.asarray(_banded_freq_matrix_s2(f), dt)  # [F, F2, 3]
+    # W_j[(fi, ci), (fo, co)] = k2[j, fi - 2 fo, ci, co]
+    w2 = jnp.einsum("xyd,jdic->jxiyc", band2, k2)  # [3, F, C1, F2, C2]
+    w2 = w2.reshape(3, f * c1, f2 * c2)
+    hf = h.reshape(b, t1, f * c1)
+    acc = None
+    for j in range(3):
+        tap = jax.lax.slice_in_dim(hf, j, j + 2 * (t2 - 1) + 1, 2, axis=1)
+        part = tap @ w2[j]
+        acc = part if acc is None else acc + part
+    h = acc.reshape(b, t2, f2, c2)
     h = swoosh_r(h + params["conv2"]["bias"].astype(dt))
     # conv3: k3, stride (1, 2), no pad
     h = jax.lax.conv_general_dilated(
