@@ -80,12 +80,12 @@ def _beam_kernel(lens_ref, enc_ref, emb_hi_ref, emb_mid_ref,
                  unk_id: int, fast_dots: bool, with_hw: bool, s_pad: int):
     if with_hw:
         (tbl_hi_ref, tbl_mid_ref, tbl_lo_ref,
-         tokens_ref, frames_ref, tok_logp_ref, ent_ref,
-         n_emit_ref, logp_ref, hw_ref,
+         tokens_ref, n_emit_ref, logp_ref, hw_ref,
+         rec_par_ref, rec_tok_ref, rec_lp_ref, rec_met_ref,
          e0_ref, e1_ref) = rest
     else:
-        (tokens_ref, frames_ref, tok_logp_ref, ent_ref,
-         n_emit_ref, logp_ref,
+        (tokens_ref, n_emit_ref, logp_ref,
+         rec_par_ref, rec_tok_ref, rec_lp_ref, rec_met_ref,
          e0_ref, e1_ref) = rest
     t = pl.program_id(0)
     f32 = jnp.float32
@@ -93,9 +93,6 @@ def _beam_kernel(lens_ref, enc_ref, emb_hi_ref, emb_mid_ref,
     @pl.when(t == 0)
     def _init():
         tokens_ref[...] = jnp.zeros((b, beam, u), jnp.int32)
-        frames_ref[...] = jnp.zeros((b, beam, u), jnp.int32)
-        tok_logp_ref[...] = jnp.zeros((b, beam, u), f32)
-        ent_ref[...] = jnp.zeros((b, beam, 4 * u), f32)
         n_emit_ref[...] = jnp.zeros((b, beam), jnp.int32)
         beam_iota2 = jax.lax.broadcasted_iota(jnp.int32, (b, beam), 1)
         logp_ref[...] = jnp.where(beam_iota2 == 0, f32(0.0), f32(NEG_INF))
@@ -218,23 +215,26 @@ def _beam_kernel(lens_ref, enc_ref, emb_hi_ref, emb_mid_ref,
         boosted = top_scores
 
     # ---- per-beam entropy metrics from the raw logits -------------------
+    # Computed as four [B, beam] rows (the recording side streams them per
+    # frame; see rec_met below).
     alpha, max_entropy, tsallis_max = _metrics_const(v)
-    entropy = -jnp.sum(p3 * lp3, axis=-1, keepdims=True)     # [B, beam, 1]
+    entropy = -jnp.sum(p3 * lp3, axis=-1)                    # [B, beam]
     tsallis = (1.0 / (alpha - 1.0)) * (
-        1.0 - jnp.sum(jnp.exp(lp3 * alpha), axis=-1, keepdims=True))
-    pm1 = jnp.max(p3, axis=-1, keepdims=True)                # top1 prob
+        1.0 - jnp.sum(jnp.exp(lp3 * alpha), axis=-1))
+    pm1k = jnp.max(p3, axis=-1, keepdims=True)               # [B, beam, 1]
     # Mask ONLY the argmax lane (min flat index among ties, matching
     # lax.top_k first-occurrence semantics in ops/beam_search._entropy_metrics)
     # so an exact probability tie yields margin pm1-pm2 == 0, not the next
     # distinct value. f32 lane indices: integer-exact below 2^24, and f32
     # compares avoid the Mosaic int32 broadcast-compare miscompile.
     lane_f3 = jax.lax.broadcasted_iota(jnp.int32, (b, beam, v), 2).astype(f32)
-    tie_lane = jnp.where(p3 == pm1, lane_f3, f32(v))
+    tie_lane = jnp.where(p3 == pm1k, lane_f3, f32(v))
     amin = jnp.min(tie_lane, axis=-1, keepdims=True)         # [B, beam, 1]
     pmask = jnp.where(lane_f3 == amin, f32(-1.0), p3)
-    pm2 = jnp.max(pmask, axis=-1, keepdims=True)
-    met = jnp.concatenate([tsallis / tsallis_max, pm1 - pm2,
-                           entropy / max_entropy, pm1], axis=-1)  # [B,beam,4]
+    pm1 = pm1k[:, :, 0]
+    pm2 = jnp.max(pmask, axis=-1)                            # [B, beam]
+    mets = (tsallis / tsallis_max, pm1 - pm2,
+            entropy / max_entropy, pm1)                      # 4 x [B, beam]
 
     # ---- gather parent state (unrolled over old beams) ------------------
     hi3 = hi[:, :, None]  # int32 expand (bool minor-dim reshapes crash)
@@ -246,17 +246,16 @@ def _beam_kernel(lens_ref, enc_ref, emb_hi_ref, emb_mid_ref,
             out = jnp.where(hi3 == i, old[:, i:i + 1, :], out)
         return out
 
+    def gather2(a):
+        out = jnp.zeros_like(a)
+        for i in range(beam):
+            out = jnp.where(hi == i, a[:, i:i + 1], out)
+        return out
+
     p_tokens = gather_rows(tokens_ref[...])
-    p_frames = gather_rows(frames_ref[...])
-    p_tok_logp = gather_rows(tok_logp_ref[...])
-    p_ent = gather_rows(ent_ref[...])
-    p_n = jnp.zeros((b, beam), jnp.int32)
-    p_logp = jnp.zeros((b, beam), f32)
-    for i in range(beam):
-        sel2 = hi == i
-        p_n = jnp.where(sel2, n_emit_ref[:, i:i + 1], p_n)
-        p_logp = jnp.where(sel2, logp_old[:, i:i + 1], p_logp)
-    p_met = gather_rows(met)
+    p_n = gather2(n_emit_ref[...])
+    p_logp = gather2(logp_old)
+    p_mets = [gather2(m) for m in mets]
     d = e0_ref.shape[-1]
     p_e0 = gather_rows(e0_ref[...].reshape(b, beam, d))
     p_e1 = gather_rows(e1_ref[...].reshape(b, beam, d))
@@ -276,24 +275,20 @@ def _beam_kernel(lens_ref, enc_ref, emb_hi_ref, emb_mid_ref,
     new_e0 = jnp.where(blank3, p_e0, p_e1)
     new_e1 = jnp.where(blank3, p_e1, emb_new)
 
-    # ---- positional appends --------------------------------------------
+    # ---- positional token append ----------------------------------------
+    # Tokens stay VMEM-resident for the in-kernel dedup's EXACT sequence
+    # comparison; everything else emitted per frame (frames, tok_logp,
+    # metrics) streams out as grid-blocked records and is reconstructed
+    # from the parent backpointers after the kernel (see wrapper) — the
+    # old [B, beam, U] recording arrays cost ~8x their size in VMEM
+    # read/write traffic EVERY frame (unrolled parent gathers) and set
+    # the batch-32 VMEM ceiling.
     cols = jax.lax.broadcasted_iota(jnp.int32, (b, beam, u), 2)
     pos = jnp.clip(p_n, 0, u - 1)[:, :, None]
     at_pos = (cols == pos) & (~blank3)
     new_tokens = jnp.where(at_pos, tok[:, :, None], p_tokens)
-    new_frames = jnp.where(at_pos, t, p_frames)
     # tok_lp == top_score - parent cumulative score (both f32, exact chain)
     tok_lp = top_scores - p_logp
-    new_tok_logp = jnp.where(at_pos, tok_lp[:, :, None], p_tok_logp)
-    cols4 = jax.lax.broadcasted_iota(jnp.int32, (b, beam, 4 * u), 2)
-    at_pos4 = ((cols4 % u) == pos) & (~blank3)
-    metric_id = cols4 // u                                   # 0..3
-    met_val = jnp.where(
-        metric_id == 0, p_met[:, :, 0:1],
-        jnp.where(metric_id == 1, p_met[:, :, 1:2],
-                  jnp.where(metric_id == 2, p_met[:, :, 2:3],
-                            p_met[:, :, 3:4])))
-    new_ent = jnp.where(at_pos4, met_val, p_ent)
     new_n = p_n + jnp.where(is_blank, 0, 1)
 
     # ---- dedup: log-add merge of identical emitted sequences ------------
@@ -337,10 +332,16 @@ def _beam_kernel(lens_ref, enc_ref, emb_hi_ref, emb_mid_ref,
     def upd(ref, new, old):
         ref[...] = jnp.where(valid3 if new.ndim == 3 else valid, new, old)
 
+    # per-frame records: on invalid frames the parent is the identity and
+    # the token is blank, so the backward reconstruction walks through
+    # them untouched.
+    j_iota = jax.lax.broadcasted_iota(jnp.int32, (b, beam), 1)
+    rec_par_ref[0] = jnp.where(valid, hi, j_iota)
+    rec_tok_ref[0] = jnp.where(valid, tok, blank_id)
+    rec_lp_ref[0] = tok_lp
+    rec_met_ref[0] = jnp.concatenate(p_mets, axis=1)          # [B, 4*beam]
+
     upd(tokens_ref, new_tokens, tokens_ref[...])
-    upd(frames_ref, new_frames, frames_ref[...])
-    upd(tok_logp_ref, new_tok_logp, tok_logp_ref[...])
-    upd(ent_ref, new_ent, ent_ref[...])
     upd(n_emit_ref, new_n, n_emit_ref[...])
     upd(logp_ref, new_logp, logp_ref[...])
     if with_hw:
@@ -417,15 +418,32 @@ def beam_search_batch_pallas(enc_out, enc_lens, dec_params, joi_params,
                      fast_dots=fast_dots, with_hw=with_hw, s_pad=s_pad)
     out_shapes = [
         jax.ShapeDtypeStruct((b, beam, u), jnp.int32),    # tokens
-        jax.ShapeDtypeStruct((b, beam, u), jnp.int32),    # frames
-        jax.ShapeDtypeStruct((b, beam, u), f32),          # tok_logp
-        jax.ShapeDtypeStruct((b, beam, 4 * u), f32),      # entropy
         jax.ShapeDtypeStruct((b, beam), jnp.int32),       # n_emit
         jax.ShapeDtypeStruct((b, beam), f32),             # logp
     ]
+    out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
     if with_hw:
         out_shapes.append(
             jax.ShapeDtypeStruct((b, beam), jnp.int32))   # hw_state
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    # Per-frame records stream straight to HBM via grid-indexed blocks —
+    # only the token array stays VMEM-resident (exact dedup needs it).
+    out_shapes += [
+        jax.ShapeDtypeStruct((t_max, b, beam), jnp.int32),   # rec_par
+        jax.ShapeDtypeStruct((t_max, b, beam), jnp.int32),   # rec_tok
+        jax.ShapeDtypeStruct((t_max, b, beam), f32),         # rec_lp
+        jax.ShapeDtypeStruct((t_max, b, 4 * beam), f32),     # rec_met
+    ]
+    out_specs += [
+        pl.BlockSpec((1, b, beam), lambda t: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, b, beam), lambda t: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, b, beam), lambda t: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, b, 4 * beam), lambda t: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
     outs = pl.pallas_call(
         kernel,
         grid=(t_max,),
@@ -446,8 +464,7 @@ def beam_search_batch_pallas(enc_out, enc_lens, dec_params, joi_params,
             pl.BlockSpec(memory_space=pltpu.VMEM),            # bo
             *hw_specs,
         ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)
-                   for _ in out_shapes],
+        out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((b * beam, d), f32),                   # e0
@@ -459,26 +476,62 @@ def beam_search_batch_pallas(enc_out, enc_lens, dec_params, joi_params,
             + 2 * t_max * b * beam * v * 8
             + (2 * t_max * b * beam * v * 2 * s_pad * 3 if with_hw else 0),
             bytes_accessed=t_max * (4 * (v * d + d * d * 2 + d * v)
-                                    + b * beam * u * 4 * 7),
+                                    + b * beam * u * 4 * 2),
             transcendentals=t_max * b * beam * v * 4,
         ),
     )(enc_lens.astype(jnp.int32).reshape(b, 1),
       jnp.swapaxes(enc_out.astype(f32), 0, 1),  # [T, B, E] for (1,B,E) blocks
       emb_hi, emb_mid, emb_lo, w0, w1, wdp, bdp, we, be, wo, bo, *hw_args)
     if with_hw:
-        tokens, frames, tok_logp, ent, n_emit, logp, hw_state = outs
+        tokens, n_emit, logp, hw_state, rec_par, rec_tok, rec_lp, \
+            rec_met = outs
         # finalize: abandon partial matches (asr_engine.py:1142-1148)
         logp = logp - hw_tables.node_score[hw_state]
     else:
-        tokens, frames, tok_logp, ent, n_emit, logp = outs
+        tokens, n_emit, logp, rec_par, rec_tok, rec_lp, rec_met = outs
 
     # Final selection — identical to the XLA path (length-normalized).
     norm = jnp.maximum(n_emit + cfg.context_size, 1).astype(f32)
     best = jnp.argmax(logp / norm, axis=1)                    # [B]
     take = lambda a: jnp.take_along_axis(
         a, best.reshape(b, *([1] * (a.ndim - 1))), axis=1)[:, 0]
-    ent4 = ent.reshape(b, beam, 4, u)
+
+    # ---- reconstruct frames / tok_logp / entropy for the winning beam ----
+    # Backward walk over the streamed records: follow the parent pointers
+    # from the selected beam, assigning emission positions n-1, n-2, ...
+    # Values are the exact f32s the kernel computed, so the result is
+    # bit-identical to the old VMEM recording arrays.
+    n_sel = take(n_emit)                                      # [B]
+    rec_met4 = rec_met.reshape(t_max, b, 4, beam)
+
+    def walk(carry, xs):
+        cur, idx = carry                                      # [B], [B]
+        par_t, tok_t, lp_t, met_t, t_idx = xs
+        sel = lambda a: jnp.take_along_axis(a, cur[:, None], axis=1)[:, 0]
+        tok_c = sel(tok_t)
+        emitted = (tok_c != cfg.blank_id) & (t_idx < enc_lens)
+        lp_c = sel(lp_t)
+        met_c = jnp.take_along_axis(
+            met_t, cur[:, None, None], axis=2)[:, :, 0]      # [B, 4]
+        pos = idx - 1                                         # [B]
+        new_idx = idx - emitted.astype(jnp.int32)
+        new_cur = sel(par_t)
+        return (new_cur, new_idx), (pos, emitted, lp_c, met_c)
+
+    t_ids = jnp.arange(t_max, dtype=jnp.int32)
+    (_, _), (poss, emits, lps, mets) = jax.lax.scan(
+        walk, (best.astype(jnp.int32), n_sel),
+        (rec_par, rec_tok, rec_lp, rec_met4, t_ids), reverse=True)
+    # Scatter per-emission values into [B, U] arrays (drop-trick: invalid
+    # rows target column u).
+    poss = jnp.where(emits, jnp.clip(poss, 0, u - 1), u)      # [T, B]
+    bb = jnp.broadcast_to(jnp.arange(b)[None, :], (t_max, b))
+    frames = jnp.zeros((b, u + 1), jnp.int32).at[
+        bb, poss].set(jnp.broadcast_to(t_ids[:, None], (t_max, b))
+                      )[:, :u]
+    tok_logp = jnp.zeros((b, u + 1), f32).at[bb, poss].set(lps)[:, :u]
+    ent = jnp.zeros((b, u + 1, 4), f32).at[bb, poss].set(mets)[:, :u]
     return BeamResult(
-        tokens=take(tokens), frames=take(frames), tok_logp=take(tok_logp),
-        entropy=jnp.swapaxes(take(ent4), -1, -2),             # [B, U, 4]
-        num_tokens=take(n_emit), total_logp=take(logp))
+        tokens=take(tokens), frames=frames, tok_logp=tok_logp,
+        entropy=ent,                                          # [B, U, 4]
+        num_tokens=n_sel, total_logp=take(logp))

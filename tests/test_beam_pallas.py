@@ -165,6 +165,34 @@ def test_pallas_beam_hotword_fixture_parity():
                 label
 
 
+def test_pallas_beam_all_blank(rng):
+    """Zero emissions: a joiner biased hard toward blank must reconstruct
+    empty frames/tok_logp/entropy (the streamed-records reverse walk starts
+    at n=0 and every scatter lands in the drop column)."""
+    model = random_asr_model(vocab_size=16, beam_size=4,
+                             compute_dtype="float32")
+    joi = jax.tree_util.tree_map(jnp.zeros_like, model.joi_params)
+    joi["output"]["bias"] = joi["output"]["bias"].at[0].set(20.0)
+    B, T, E = 2, 8, model.rnnt_cfg.encoder_out_dim
+    enc = jnp.asarray(rng.standard_normal((B, T, E)).astype(np.float32))
+    lens = jnp.asarray([8, 3], jnp.int32)
+    ref = beam_search_batch(enc, lens, model.dec_params, joi,
+                            model.rnnt_cfg, beam_size=4)
+    out = beam_search_batch_pallas(enc, lens, model.dec_params, joi,
+                                   model.rnnt_cfg, beam_size=4,
+                                   interpret=True)
+    assert np.asarray(ref.num_tokens).tolist() == [0, 0]
+    assert np.asarray(out.num_tokens).tolist() == [0, 0]
+    np.testing.assert_array_equal(np.asarray(out.frames),
+                                  np.asarray(ref.frames))
+    np.testing.assert_allclose(np.asarray(out.tok_logp),
+                               np.asarray(ref.tok_logp), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.entropy),
+                               np.asarray(ref.entropy), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.total_logp),
+                               np.asarray(ref.total_logp), atol=1e-4)
+
+
 def test_pallas_margin_zero_on_exact_tie(rng):
     """Exact probability ties among the top lanes must yield margin
     pm1-pm2 == 0 (lax.top_k first-occurrence semantics), not the next
