@@ -249,10 +249,23 @@ def encoder_embed(params, x, out_lens, cfg: ZipformerConfig):
         acc = part if acc is None else acc + part
     h = acc.reshape(b, t2, f2, c2)
     h = swoosh_r(h + params["conv2"]["bias"].astype(dt))
-    # conv3: k3, stride (1, 2), no pad
-    h = jax.lax.conv_general_dilated(
-        h, params["conv3"]["weight"].astype(dt), (1, 2), [(0, 0), (0, 0)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    # conv3 (k3, stride (1, 2), no pad) as a 9-tap gather + ONE dense
+    # matmul: C_in=32 occupies 32/128 lanes as an NHWC conv (~14x below
+    # MXU speed-of-light, measured 0.72 ms of the 3.8 ms embed). The nine
+    # (time, freq) taps concatenated along channels give a [.., 9*C2=288]
+    # @ [288, C3] matmul — no banded zero-waste needed at this channel
+    # count, unlike conv1/conv2 above.
+    k3w = params["conv3"]["weight"].astype(dt)  # [3(t), 3(f), C2, C3]
+    t3 = h.shape[1] - 2
+    f3 = (f2 - 3) // 2 + 1
+    taps3 = [
+        jax.lax.slice(h, (0, tj, fj, 0),
+                      (b, tj + t3, fj + 2 * (f3 - 1) + 1, c2),
+                      (1, 1, 2, 1))
+        for tj in range(3) for fj in range(3)
+    ]
+    # concat order (tj, fj, ci) matches k3w.reshape's row order
+    h = jnp.concatenate(taps3, axis=-1) @ k3w.reshape(9 * c2, -1)
     h = swoosh_r(h + params["conv3"]["bias"].astype(dt))
     # Zero padded time positions so ConvNeXt's padded conv matches an
     # exact-length (unbatched) run.

@@ -58,6 +58,50 @@ def test_padding_invariance(model, rng):
                                np.asarray(out_b)[0, :n], atol=2e-4)
 
 
+def test_encoder_embed_matches_naive_convs(rng):
+    """The MXU-shaped embed rewrites (banded conv1/conv2 matmuls, 9-tap
+    conv3 matmul) must match a straight lax.conv implementation exactly
+    (fp32; same math, different op shapes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sherpa_vietnamese_asr_tpu.models.zipformer import (
+        ZIPFORMER_30M, bias_norm, encoder_embed, init_encoder_embed, linear,
+        swoosh_l, swoosh_r,
+    )
+
+    cfg = ZIPFORMER_30M
+    p = init_encoder_embed(jax.random.PRNGKey(3), cfg)
+    B, T = 2, 39
+    x = jnp.asarray(rng.standard_normal((B, T, 80)).astype(np.float32))
+    out_lens = jnp.asarray([(T - 7) // 2, 9], jnp.int32)
+
+    def conv(h, prm, strides, padding):
+        return jax.lax.conv_general_dilated(
+            h, prm["weight"], strides, padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + prm["bias"]
+
+    h = conv(x[..., None], p["conv1"], (1, 1), [(0, 0), (1, 1)])
+    h = swoosh_r(h)
+    h = swoosh_r(conv(h, p["conv2"], (2, 2), [(0, 0), (0, 0)]))
+    h = swoosh_r(conv(h, p["conv3"], (1, 2), [(0, 0), (0, 0)]))
+    t_mask = jnp.arange(h.shape[1])[None, :] < out_lens[:, None]
+    h = jnp.where(t_mask[:, :, None, None], h, 0.0)
+    c3 = h.shape[-1]
+    g = jax.lax.conv_general_dilated(
+        h, p["convnext_dw"]["weight"], (1, 1), [(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c3)
+    g = g + p["convnext_dw"]["bias"]
+    g = swoosh_l(linear(p["convnext_pw1"], g))
+    h = h + linear(p["convnext_pw2"], g)
+    h = jnp.transpose(h, (0, 1, 3, 2)).reshape(B, h.shape[1], -1)
+    ref = bias_norm(p["out_norm"], linear(p["out"], h))
+
+    got = encoder_embed(p, x, out_lens, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_param_counts_are_in_expected_range():
     import jax
 
