@@ -434,7 +434,7 @@ def main(argv=None):
     c.add_argument("--autotune", action="store_true",
                    help="probe decode batch sizes and emit recommended "
                         "max_batch per stage")
-    c.add_argument("--candidates", default="8,16,32",
+    c.add_argument("--candidates", default="8,16,32,48,64",
                    help="comma-separated batch sizes to probe (each costs "
                         "a one-time compile of the decode program)")
     c.set_defaults(fn=cmd_calibrate)

@@ -184,7 +184,7 @@ def auto_batch_size(stage, default, budget_mb=None):
     return min(default, 16)
 
 
-def autotune_max_batch(model=None, candidates=(4, 8, 16, 32, 64),
+def autotune_max_batch(model=None, candidates=(4, 8, 16, 32, 48, 64),
                        chunk_sec=None, progress_callback=None):
     """Probe the batched chunk-decode program at each candidate batch size
     and pick the one with the lowest sec-per-chunk.
