@@ -1,0 +1,14 @@
+# Scratch: probe TPU tunnel health, retrying until it responds.
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+t0 = time.time()
+print("importing done, listing devices...", flush=True)
+d = jax.devices()
+print(f"devices after {time.time()-t0:.1f}s: {d}", flush=True)
+x = jnp.ones((256, 256))
+y = float((x @ x).sum())
+print(f"matmul ok after {time.time()-t0:.1f}s: {y}", flush=True)
