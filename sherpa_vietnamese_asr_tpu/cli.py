@@ -399,7 +399,10 @@ def main(argv=None):
              "priming: cold one-shot runs then start at steady speed)")
     w.add_argument("--model", default="zipformer-30m-rnnt-6000h")
     w.add_argument("--beam", type=int, default=8)
-    w.add_argument("--dtype", default="bfloat16",
+    # Default must match `svt transcribe` (compute_dtype is part of the
+    # traced program): warming bfloat16 while transcribe defaults to
+    # float32 would prime programs the first real run never hits.
+    w.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
     w.add_argument("--models-dir", default=None)
     w.add_argument("--allow-random", action="store_true",

@@ -333,42 +333,68 @@ def map_initializers(initializers, name_map, strict=True, label="",
     (_fallback_match); real exports rename initializers freely. Raises
     ImportReport listing missing/unused names when strict.
     """
-    missing, used = [], set()
-    for src, e in name_map.items():
-        set_fn, transform, _g, _d = _entry(e)
-        if src not in initializers:
+    # Two phases: RESOLVE every expected name to a file tensor (or a group
+    # default), THEN apply in name_map definition order. Interleaving the
+    # two (as an earlier version did) breaks accumulating setters — a
+    # fallback-matched `bias_ih` setter applied after the name-matched
+    # `bias_hh` adder silently dropped bias_hh from the LSTM gate bias.
+    matches = {}  # expected name -> actual file name
+    missing = []
+    for src in name_map:
+        if src in initializers:
+            matches[src] = src
+        else:
             missing.append(src)
-            continue
-        arr = initializers[src]
-        set_fn(arr if transform is None else transform(arr))
-        used.add(src)
+    used = set(matches.values())
+    defaulted = set()
     if missing:
-        # All-or-nothing group defaults (folded BN): only when every member
-        # of the group is missing — a partially-present group is a mapping
-        # bug and must surface below.
         groups = {}
         for src, e in name_map.items():
             _s, _t, g, _d = _entry(e)
             if g is not None:
                 groups.setdefault(g, []).append(src)
-        defaulted = []
-        for g, members in groups.items():
-            if all(mname in missing for mname in members):
-                for mname in members:
-                    set_fn, _t, _g, default = _entry(name_map[mname])
-                    dest = _dest_array(set_fn)
-                    set_fn(np.full(dest.shape, default, np.float32))
-                    defaulted.append(mname)
-        missing = [mname for mname in missing if mname not in defaulted]
-    if missing and fallback_match:
-        matched = _fallback_match(initializers, name_map, missing, used,
-                                  label=label)
-        for e_name, a_name in matched.items():
-            set_fn, transform, _g, _d = _entry(name_map[e_name])
-            arr = initializers[a_name]
+        # Groups missing in FULL are candidates for defaults (exporter
+        # folded them, e.g. BatchNorm into the preceding conv). A partially
+        # present group is treated as plain renames: its missing members
+        # must fallback-match or the strict check surfaces them.
+        whole_groups = [g for g, members in groups.items()
+                        if all(m in missing for m in members)]
+        in_whole_group = {m for g in whole_groups for m in groups[g]}
+        plain_missing = [m for m in missing if m not in in_whole_group]
+        if plain_missing and fallback_match:
+            matched = _fallback_match(initializers, name_map, plain_missing,
+                                      used, label=label)
+            matches.update(matched)
+            used.update(matched.values())
+        if fallback_match:
+            # Renamed-but-present beats identity defaults: only default a
+            # group when no shape-compatible unused tensors exist for ALL
+            # of its members (a renamed BN that still ships its stats must
+            # load them — identity stats would be silently wrong).
+            for g in whole_groups:
+                members = groups[g]
+                try:
+                    gm = _fallback_match(initializers, name_map, members,
+                                         used, label=label)
+                except ImportReport:
+                    gm = None
+                if gm is not None and len(gm) == len(members):
+                    matches.update(gm)
+                    used.update(gm.values())
+                else:
+                    defaulted.update(members)
+        else:
+            defaulted.update(in_whole_group)
+    # Apply in name_map order (setters before their adders).
+    for src, e in name_map.items():
+        set_fn, transform, _g, default = _entry(e)
+        if src in matches:
+            arr = initializers[matches[src]]
             set_fn(arr if transform is None else transform(arr))
-            used.add(a_name)
-        missing = [mname for mname in missing if mname not in matched]
+        elif src in defaulted:
+            dest = _dest_array(set_fn)
+            set_fn(np.full(dest.shape, default, np.float32))
+    missing = [m for m in name_map if m not in matches and m not in defaulted]
     if strict and missing:
         unused = sorted(set(initializers) - used)
         raise ImportReport(

@@ -62,10 +62,17 @@ class ZipformerConfig:
     # Computation dtype for the big matmuls ("float32" or "bfloat16").
     compute_dtype: str = "float32"
     # XLA matmul/conv precision for float32 compute ("high" = the native
-    # 3-pass bf16 hi/lo-split algorithm, ~17% faster encoder on v5e and
-    # token-parity-tested against the exact-f32 oracle; "highest" = full
-    # 6-pass f32 emulation for strict bit-level work). Ignored for bf16
-    # compute. The Pallas beam kernel keeps HIGHEST in fp32 mode either way.
+    # 3-pass bf16 hi/lo-split algorithm, ~17% faster encoder on v5e;
+    # "highest" = full 6-pass f32 emulation). Ignored for bf16 compute.
+    # The Pallas beam kernel keeps HIGHEST in fp32 mode either way.
+    # Measured (random weights = worst case, near-uniform logits): "high"
+    # vs "highest" flips ~1% of decoded tokens on-chip, and EITHER differs
+    # from the XLA-CPU oracle by the same order (~1-2%) — cross-backend
+    # transcendental/rounding ULPs flip near-tied beam decisions in any
+    # mode, so "highest" buys no cross-backend bit-identity, only cost.
+    # fp32 guarantees: deterministic run-to-run on a given backend, full
+    # f32 accumulation class; token/WER parity vs the reference ONNX CPU
+    # is gated on real checkpoints via `svt verify-assets`.
     matmul_precision: str = "high"
 
     @property

@@ -273,7 +273,9 @@ class CachedStreamingRecognizer:
         the in-flight step (partial display can lag one chunk; finals via
         get_result are complete)."""
         id2tok = self.model.id2token
-        pieces = [id2tok[t] if t < len(id2tok) else "" for t in self.tokens]
+        # _tokens, not the tokens property: the property drains the
+        # in-flight step, which would serialize host and device again.
+        pieces = [id2tok[t] if t < len(id2tok) else "" for t in self._tokens]
         return "".join(pieces).replace("▁", " ").strip().lower()
 
     def reset(self):
@@ -351,12 +353,7 @@ class OnlineStreamingSession:
         if not self.rec.is_ready():
             return
         self.rec.decode()
-        # peek (no drain): partial text may lag one chunk, but the decode
-        # step stays pipelined; finals (_finalize) use the draining
-        # get_result and are complete.
-        text = (self.rec.peek_result()
-                if hasattr(self.rec, "peek_result")
-                else self.rec.get_result())
+        text = self.rec.get_result()
         if text and text != self.last_text:
             ts = max(self.rec.total_samples / SAMPLE_RATE,
                      self.segment_start_samples / SAMPLE_RATE)

@@ -35,16 +35,30 @@ def ensure_setup():
     except Exception:
         cfg_plat = ""
     subdir = backend.replace(",", "_") or "default"
-    if "cpu" in (backend + "," + cfg_plat).lower():
+    # Key by host CPU whenever the platform set can resolve to CPU — that
+    # includes the UNSET/"default" case (no TPU present -> CPU at runtime),
+    # not just an explicit "cpu". Hash the model name too, not only the
+    # flags line: XLA derives extra LLVM target features from the CPU
+    # model (e.g. +prefer-no-scatter on Sapphire Rapids), so two hosts
+    # with identical cpuinfo flags can still produce incompatible AOT
+    # artifacts.
+    plats = (backend + "," + cfg_plat).lower()
+    pinned_noncpu = plats.strip(", ") not in ("", "default") \
+        and "cpu" not in plats
+    if not pinned_noncpu:
         machine = "anycpu"
         try:
             import hashlib
+            ident = []
             with open("/proc/cpuinfo") as f:
                 for line in f:
-                    if line.startswith("flags"):
-                        machine = hashlib.sha256(
-                            line.encode()).hexdigest()[:12]
+                    if line.startswith(("flags", "model name")):
+                        ident.append(line)
+                    if len(ident) == 2:
                         break
+            if ident:
+                machine = hashlib.sha256(
+                    "".join(ident).encode()).hexdigest()[:12]
         except OSError:
             pass
         subdir += "-" + machine

@@ -654,6 +654,111 @@ def test_campp_partial_bn_group_raises(tmp_path, rng):
         load_campp(str(p))
 
 
+def test_campp_renamed_bn_stats_load_real_values(tmp_path, rng):
+    """ALL initializers renamed (incl. BatchNorm stats, which the map
+    declares as identity-default groups): the renamed-but-PRESENT stats
+    must be fallback-matched and loaded, never silently replaced by the
+    identity defaults — defaults are only for genuinely folded groups."""
+    import jax
+    import jax.numpy as jnp
+
+    from sherpa_vietnamese_asr_tpu.models.campplus import (
+        TINY_CAMPP, campp_embed, init_campp_params,
+    )
+    from sherpa_vietnamese_asr_tpu.models.onnx_import import (
+        campp_name_map, load_campp,
+    )
+
+    src = init_campp_params(jax.random.PRNGKey(13), TINY_CAMPP)
+    # Non-identity BN stats so defaulting them is observable in the output.
+    def walk(node):
+        if isinstance(node, dict):
+            if "mean" in node and "var" in node:
+                node["mean"] = jnp.asarray(
+                    0.3 * rng.standard_normal(node["mean"].shape), jnp.float32)
+                node["var"] = jnp.asarray(
+                    1.0 + 0.5 * rng.random(node["var"].shape), jnp.float32)
+            for v in node.values():
+                walk(v)
+        elif isinstance(node, list):
+            for v in node:
+                walk(v)
+    walk(src)
+
+    inv = _campp_inv_tensors(src)
+    order = [k for k in campp_name_map(src, TINY_CAMPP) if k in inv]
+    assert len(order) == len(inv)
+    renamed = {f"w{i:04d}": np.ascontiguousarray(inv[k])
+               for i, k in enumerate(order)}
+    p = tmp_path / "campplus_renamed.onnx"
+    p.write_bytes(make_onnx(renamed))
+
+    # cfg passed explicitly: config inference reads anchor tensors by name,
+    # which a fully-renamed export cannot satisfy (same as the ViBERT
+    # opaque-rename test). The subject here is weight mapping, not
+    # inference.
+    params, cfg = load_campp(str(p), cfg=TINY_CAMPP)
+    fb = jnp.asarray(rng.standard_normal((2, 150, 80)).astype(np.float32))
+    a = np.asarray(campp_embed(src, fb, TINY_CAMPP))
+    b = np.asarray(campp_embed(params, fb, cfg))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_pyannet_fallback_bias_ih_keeps_hh_sum(tmp_path, rng):
+    """bias_ih renamed while bias_hh keeps its name: the import must still
+    produce gate bias = bias_ih + bias_hh. (Regression: fallback matches
+    were once applied AFTER the name pass, so the late bias_ih setter
+    overwrote the already-accumulated bias_hh adder contribution.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from sherpa_vietnamese_asr_tpu.models.onnx_import import load_pyannet
+    from sherpa_vietnamese_asr_tpu.models.pyannet import (
+        PyanNetConfig, init_pyannet_params, pyannet_forward,
+    )
+
+    cfg = PyanNetConfig(sinc_filters=16, conv_channels=12, lstm_hidden=16,
+                        lstm_layers=1, linear_dim=16)
+    src = init_pyannet_params(jax.random.PRNGKey(6), cfg)
+    t = {
+        "sincnet.conv1d.0.low_hz_": src["sinc_low_hz"],
+        "sincnet.conv1d.0.band_hz_": src["sinc_band_hz"],
+        "sincnet.wav_norm1d.weight": src["wav_norm"]["scale"],
+        "sincnet.wav_norm1d.bias": src["wav_norm"]["bias"],
+        "classifier.weight": src["classifier"]["weight"].T,
+        "classifier.bias": src["classifier"]["bias"],
+    }
+    for i in range(3):
+        t[f"sincnet.norm1d.{i}.weight"] = src["norms"][i]["scale"]
+        t[f"sincnet.norm1d.{i}.bias"] = src["norms"][i]["bias"]
+    for i, conv in enumerate(src["convs"]):
+        t[f"sincnet.conv1d.{i + 1}.weight"] = np.transpose(
+            np.asarray(conv["weight"]), (2, 1, 0))
+        t[f"sincnet.conv1d.{i + 1}.bias"] = conv["bias"]
+    for k, layer in enumerate(src["lstm"]):
+        for sfx, d in (("", "fwd"), ("_reverse", "bwd")):
+            t[f"lstm.weight_ih_l{k}{sfx}"] = np.asarray(layer[d]["wi"]).T
+            t[f"lstm.weight_hh_l{k}{sfx}"] = np.asarray(layer[d]["wh"]).T
+            b = np.asarray(layer[d]["b"])
+            t[f"lstm.bias_ih_l{k}{sfx}"] = 0.25 * b
+            t[f"lstm.bias_hh_l{k}{sfx}"] = 0.75 * b
+    for i in (1, 2):
+        t[f"linear.{i - 1}.weight"] = np.asarray(
+            src[f"linear{i}"]["weight"]).T
+        t[f"linear.{i - 1}.bias"] = src[f"linear{i}"]["bias"]
+    t = {k: np.asarray(v) for k, v in t.items()}
+    t["renamed_opaque_0"] = t.pop("lstm.bias_ih_l0")  # the perturbation
+    p = tmp_path / "segmentation-community-1.onnx"
+    p.write_bytes(make_onnx(t))
+
+    params, got_cfg = load_pyannet(str(p))
+    audio = jnp.asarray(rng.standard_normal((1, 80000)).astype(np.float32)
+                        * 0.1)
+    a = np.asarray(pyannet_forward(src, audio, cfg))
+    b = np.asarray(pyannet_forward(params, audio, got_cfg))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
 def test_constant_node_weights_fold(tmp_path, rng):
     """Weights shipped as Constant nodes (not graph initializers) must be
     folded into the initializer table by read_onnx; config inference and
