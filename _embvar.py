@@ -121,7 +121,7 @@ else:
     rng = np.random.default_rng(0)
     B, T3, F3, C3 = 8, 1646, 19, 128
     h0 = jnp.asarray(
-        (rng.standard_normal((B, T3, F3, C3)) * 0.3).astype(np.float32))
+        (rng.standard_normal((B, T3, F3, C3)) * 0.3).astype(np.float32)).astype(dt)
     lens = jnp.full((B,), T3, jnp.int32)
 
     @jax.jit

@@ -35,7 +35,11 @@ def main():
 
     chunk_sec = 30.0
     pad_sec = 33.0  # pipeline/decoder.py CHUNK_PAD_SEC — shared programs
-    batch = 32 if on_tpu else 2  # beam-kernel VMEM ceiling; best measured
+    # Best measured batch (the streamed-records beam kernel now fits up to
+    # batch 48 at 33 s chunks, but 32 vs 48 is an end-to-end wash — 8257 vs
+    # 8207 RTFx on v5e — so keep the cheaper-compile 32; `svt calibrate
+    # --autotune` rediscovers the best value per chip).
+    batch = int(os.environ.get("SVT_BENCH_BATCH", "32" if on_tpu else "2"))
     n_batches = 5 if on_tpu else 1
     sr = 16000
     n = int(chunk_sec * sr)

@@ -53,13 +53,16 @@ def decode_feats_jit(feats, n_frames, enc_params, dec_params, joi_params,
                      with_hotwords=False, use_pallas_beam=False):
     """[B, F, 80] fbank -> (BeamResult, enc_lens)."""
     enc_out, enc_lens = zipformer_encoder(enc_params, feats, n_frames, zip_cfg)
-    # VMEM ceiling: the megakernel keeps [B, beam, T] recording state
-    # resident on-chip; beyond ~27k B*T rows-of-lanes (batch 32 at 33 s
-    # chunks fits, 64 does not) Mosaic fails to place it — fall back to the
-    # XLA scan rather than failing compile. Hotword automatons ride the
-    # kernel too (round 3): their transposed [V, 2*S_pad] limb tables are
-    # VMEM-resident, measured to fit up to S=500 states at batch 32.
-    fits_vmem = enc_out.shape[0] * enc_out.shape[1] <= 27000
+    # VMEM ceiling: after the round-3 streamed-records refactor only the
+    # [B, beam, T] token array stays VMEM-resident (in-kernel dedup needs
+    # exact sequence compares); at beam 8 that is 32*B*T bytes against the
+    # 16 MB scoped-VMEM budget. Measured on v5e at T=824: batch 48 compiles
+    # and runs, batch 64 OOMs the scoped stack by 4.9 MB — gate at the
+    # measured 48*824 product and fall back to the XLA scan above it.
+    # Hotword automatons ride the kernel too (round 3): their transposed
+    # [V, 2*S_pad] limb tables are VMEM-resident, measured to fit up to
+    # S=500 states at batch 32.
+    fits_vmem = enc_out.shape[0] * enc_out.shape[1] <= 39600
     hw_fits = (not with_hotwords) or (
         hw_tables is not None and hw_tables.next_state.shape[0] <= 500)
     if use_pallas_beam and beam_size >= 4 and fits_vmem and hw_fits:
