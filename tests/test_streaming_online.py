@@ -116,6 +116,43 @@ def test_cached_streaming_recognizer(model, rng):
     assert rec.ctx.shape == (1, 2)
 
 
+def test_cached_streaming_background_pump_parity(model, rng):
+    """background=True (pump-thread device interaction) emits the exact
+    token sequence of the synchronous recognizer, and survives
+    reset-and-reuse. The pump exists to take the tunneled backend's
+    ~3 x 31 ms round trips off the caller thread (PERFORMANCE.md)."""
+    from sherpa_vietnamese_asr_tpu.pipeline.streaming_online import (
+        CachedStreamingRecognizer,
+    )
+    sr = 16000
+    tone = (0.3 * np.sin(2 * np.pi * 300 * np.arange(sr * 3) / sr)
+            + 0.02 * rng.standard_normal(sr * 3)).astype(np.float32)
+
+    def run(rec):
+        emitted = []
+        for i in range(0, len(tone), 1600):
+            rec.accept_waveform(tone[i: i + 1600])
+            while rec.is_ready():
+                emitted.extend(rec.decode())
+        text = rec.get_result()
+        return emitted + [t for t in rec.tokens[len(emitted):]], text
+
+    sync = CachedStreamingRecognizer(model, chunk_frames=32, left_frames=64)
+    bg = CachedStreamingRecognizer(model, chunk_frames=32, left_frames=64,
+                                   background=True)
+    try:
+        toks_s, text_s = run(sync)
+        toks_b, text_b = run(bg)
+        assert toks_b == toks_s
+        assert text_b == text_s
+        # reset + second utterance stays in lockstep
+        sync.reset()
+        bg.reset()
+        assert run(bg) == run(sync)
+    finally:
+        bg.close()
+
+
 def test_greedy_chunk_decode_compaction(model):
     import jax.numpy as jnp
 
