@@ -1,6 +1,9 @@
 # Scratch: fp32 serving mode (matmul_precision="high") full-decode token
 # parity on-chip vs the exact-f32 CPU oracle. Usage:
-#   python _fp32hw.py hw    (TPU: decode, save tokens)
+#   python _fp32hw.py hw          (TPU: decode, save tokens; Pallas kernels)
+#   python _fp32hw.py hw_highest  (TPU: matmul_precision=highest, Pallas)
+#   python _fp32hw.py hw_xla      (TPU: highest, NO Pallas kernels — isolates
+#                                  matmul-emulation rounding from kernel deltas)
 #   SVT_DISABLE_COMPILE_CACHE=1 python _fp32hw.py ref   (forced-CPU compare)
 import sys
 
@@ -17,7 +20,8 @@ from sherpa_vietnamese_asr_tpu.models.registry import random_asr_model
 from sherpa_vietnamese_asr_tpu.pipeline.decoder import decode_batch_jit
 
 m = random_asr_model(vocab_size=2000, beam_size=8, compute_dtype="float32")
-if mode == "hw_highest":
+no_pallas = mode == "hw_xla"
+if mode in ("hw_highest", "hw_xla"):
     import dataclasses
     m.zip_cfg = dataclasses.replace(m.zip_cfg, matmul_precision="highest")
     mode = "hw"
@@ -34,7 +38,7 @@ audio = np.stack([
 lens = np.asarray([n, n // 2, n // 3, n, n - 160, n // 4, n, n // 5],
                   np.int32)
 
-use_pallas = mode == "hw"  # TPU: production config (Pallas fbank + beam)
+use_pallas = mode == "hw" and not no_pallas
 r, enc_lens = decode_batch_jit(
     jnp.asarray(audio), jnp.asarray(lens),
     m.enc_params, m.dec_params, m.joi_params, m.zip_cfg, m.rnnt_cfg,

@@ -35,11 +35,6 @@ def main():
 
     chunk_sec = 30.0
     pad_sec = 33.0  # pipeline/decoder.py CHUNK_PAD_SEC — shared programs
-    # Best measured batch (the streamed-records beam kernel now fits up to
-    # batch 48 at 33 s chunks, but 32 vs 48 is an end-to-end wash — 8257 vs
-    # 8207 RTFx on v5e — so keep the cheaper-compile 32; `svt calibrate
-    # --autotune` rediscovers the best value per chip).
-    batch = int(os.environ.get("SVT_BENCH_BATCH", "32" if on_tpu else "2"))
     n_batches = 5 if on_tpu else 1
     sr = 16000
     n = int(chunk_sec * sr)
@@ -52,6 +47,23 @@ def main():
                            "bfloat16" if on_tpu else "float32")
     model = random_asr_model(vocab_size=2000, beam_size=8,
                              compute_dtype=dtype)
+    # fp32 precision tier (PERFORMANCE.md "Precision tiers"): "high" =
+    # 3-pass bf16 emulation (default), "highest" = 6-pass. Both are
+    # deterministic per config; NEITHER is bit-identical to a CPU f32 run
+    # (measured ~1-2.5% near-tie token flips on random weights either way,
+    # incl. XLA-only highest). Ignored in bfloat16 mode.
+    prec = os.environ.get("SVT_BENCH_PRECISION")
+    if prec:
+        import dataclasses
+        model.zip_cfg = dataclasses.replace(model.zip_cfg,
+                                            matmul_precision=prec)
+    # Best measured batch per dtype (v5e, 33 s chunks; the streamed-records
+    # beam kernel fits up to 48): bf16 is a wash 32 vs 48 (8319 vs 8219
+    # RTFx) so keep the cheaper-compile 32; fp32's slower encoder amortizes
+    # per-op overhead with batch — 48 is +39% over 32 (6420 vs 4624).
+    # `svt calibrate --autotune` rediscovers the best value per chip.
+    best = "32" if dtype == "bfloat16" else "48"
+    batch = int(os.environ.get("SVT_BENCH_BATCH", best if on_tpu else "2"))
     rng = np.random.default_rng(0)
     # Speech-shaped synthetic audio (AM tones + noise); a distinct batch per
     # iteration so no caching layer can elide work.

@@ -76,14 +76,31 @@ def decode_feats_jit(feats, n_frames, enc_params, dec_params, joi_params,
             beam_size=beam_size,
             hw_tables=hw_tables if with_hotwords else None,
             with_hotwords=with_hotwords,
-            # bf16 serving mode is documented as not bit-stable vs fp32;
-            # match the encoder's precision class in the joiner dots too.
-            fast_dots=zip_cfg.compute_dtype == "bfloat16")
+            # Precision TIER consistency (PERFORMANCE.md "Precision
+            # tiers"): the joiner dots ride the same class as the encoder.
+            # bf16 serving -> native bf16 dots; fp32 "high" -> the kernel's
+            # 3-pass hi/lo split (the same bf16_3x algorithm XLA's "high"
+            # lowers to); fp32 "highest" -> exact 6-pass. Measured on v5e,
+            # cross-platform (TPU vs CPU) token flips on RANDOM weights are
+            # ~1-2.5% in EVERY tier incl. highest/XLA-only (near-tied beam
+            # decisions; trained weights separate decisively), so tiers
+            # trade speed against emulation passes, not against a
+            # bit-identity contract no platform pair can honor.
+            fast_dots=(zip_cfg.compute_dtype == "bfloat16"
+                       or zip_cfg.matmul_precision == "high"))
     else:
-        result = beam_search_batch(enc_out, enc_lens, dec_params, joi_params,
-                                   rnnt_cfg, beam_size=beam_size,
-                                   hw_tables=hw_tables,
-                                   with_hotwords=with_hotwords)
+        # Same tier for the XLA scan's dots as the encoder/kernel use, so
+        # the kernel<->scan fallback (VMEM gate above) stays in-class.
+        # (Precision config only applies to f32 operands; bf16 serving is
+        # single-pass regardless, so skip the context there.)
+        prec = (zip_cfg.matmul_precision
+                if zip_cfg.compute_dtype == "float32" else "default")
+        with jax.default_matmul_precision(prec):
+            result = beam_search_batch(enc_out, enc_lens, dec_params,
+                                       joi_params, rnnt_cfg,
+                                       beam_size=beam_size,
+                                       hw_tables=hw_tables,
+                                       with_hotwords=with_hotwords)
     return result, enc_lens
 
 
