@@ -91,6 +91,7 @@ else:
     )
 
     b = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    unroll = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     t = 824  # 33 s chunk at 25 Hz encoder frames
     enc = (rng.standard_normal(
         (b, t, m.rnnt_cfg.encoder_out_dim)) * 0.5).astype(np.float32)
@@ -100,7 +101,8 @@ else:
     def run(x):
         return beam_search_batch_pallas(x, lensj, m.dec_params,
                                         m.joi_params, m.rnnt_cfg,
-                                        beam_size=8, fast_dots=True)
+                                        beam_size=8, fast_dots=True,
+                                        unroll=unroll)
     t0 = time.perf_counter()
     np.asarray(run(encj).tokens)
     print(f"compile+first: {time.perf_counter() - t0:.1f}s")
@@ -110,5 +112,14 @@ else:
         t0 = time.perf_counter()
         np.asarray(run(x).tokens)
         best = min(best, time.perf_counter() - t0)
-    print(f"beam perf b={b} t={t}: {(best - 0.031) * 1e3:.1f} ms per batch "
+    print(f"beam perf b={b} t={t} unroll={unroll}: "
+          f"{(best - 0.031) * 1e3:.1f} ms per batch "
           f"({(best - 0.031) / t * 1e6:.1f} us/frame)")
+    if unroll > 1:
+        # on-chip token parity vs the unrolled=1 program on the same inputs
+        r1 = beam_search_batch_pallas(encj, lensj, m.dec_params,
+                                      m.joi_params, m.rnnt_cfg,
+                                      beam_size=8, fast_dots=True)
+        r2 = run(encj)
+        same = np.array_equal(np.asarray(r1.tokens), np.asarray(r2.tokens))
+        print("unroll on-chip token parity:", "OK" if same else "DIVERGED")

@@ -77,7 +77,8 @@ def _beam_kernel(lens_ref, enc_ref, emb_hi_ref, emb_mid_ref,
                  wdp_ref, bdp_ref, we_ref, be_ref, wo_ref, bo_ref,
                  *rest,
                  b: int, beam: int, u: int, v: int, blank_id: int,
-                 unk_id: int, fast_dots: bool, with_hw: bool, s_pad: int):
+                 unk_id: int, fast_dots: bool, with_hw: bool, s_pad: int,
+                 unroll: int):
     if with_hw:
         (tbl_hi_ref, tbl_mid_ref, tbl_lo_ref,
          tokens_ref, n_emit_ref, logp_ref, hw_ref,
@@ -87,10 +88,10 @@ def _beam_kernel(lens_ref, enc_ref, emb_hi_ref, emb_mid_ref,
         (tokens_ref, n_emit_ref, logp_ref,
          rec_par_ref, rec_tok_ref, rec_lp_ref, rec_met_ref,
          e0_ref, e1_ref) = rest
-    t = pl.program_id(0)
+    pid = pl.program_id(0)
     f32 = jnp.float32
 
-    @pl.when(t == 0)
+    @pl.when(pid == 0)
     def _init():
         tokens_ref[...] = jnp.zeros((b, beam, u), jnp.int32)
         n_emit_ref[...] = jnp.zeros((b, beam), jnp.int32)
@@ -106,252 +107,256 @@ def _beam_kernel(lens_ref, enc_ref, emb_hi_ref, emb_mid_ref,
             (b * beam, e_blank.shape[1]), f32)
         e1_ref[...] = e0_ref[...]
 
-    # ---- joiner logits for every (chunk, beam) --------------------------
-    # Dot precision tracks the model's serving mode: fp32 mode keeps
-    # 6-pass HIGHEST (token-identical to the exact-f32 oracle); bf16
-    # serving mode — already documented as not bit-stable vs fp32 — uses a
-    # 3-pass hi/lo split (~16 mantissa bits), halving the MXU passes the
-    # kernel is bound by.
-    if fast_dots:
-        def dot(a, bm):
-            a_hi = a.astype(jnp.bfloat16)
-            a_lo = (a - a_hi.astype(f32)).astype(jnp.bfloat16)
-            b_hi = bm.astype(jnp.bfloat16)
-            b_lo = (bm - b_hi.astype(f32)).astype(jnp.bfloat16)
-            dg = lambda p, q: jnp.dot(p, q, preferred_element_type=f32,
-                                      precision=jax.lax.Precision.DEFAULT)
-            return dg(a_hi, b_hi) + dg(a_hi, b_lo) + dg(a_lo, b_hi)
-    else:
-        def dot(a, bm):
-            return jnp.dot(a, bm, preferred_element_type=f32,
-                           precision=jax.lax.Precision.HIGHEST)
-    enc_t = enc_ref[0, :, :].astype(f32)                     # [B, E]
-    e_j = dot(enc_t, we_ref[...]) + be_ref[...]              # [B, J]
-    dec_in0 = e0_ref[...]                                    # [B*beam, D]
-    dec_in1 = e1_ref[...]
-    d0 = dot(dec_in0, w0_ref[...]) + dot(dec_in1, w1_ref[...])
-    dec_out = jnp.maximum(d0, 0.0)                           # [B*beam, D]
-    d_j = dot(dec_out, wdp_ref[...]) + bdp_ref[...]
-    j_dim = d_j.shape[-1]
-    h = jnp.tanh(d_j.reshape(b, beam, j_dim) + e_j[:, None, :])
-    logits = dot(h.reshape(b * beam, j_dim), wo_ref[...]) + bo_ref[...]
+    def _frame(sub):
+        # ---- joiner logits for every (chunk, beam) --------------------------
+        # Dot precision tracks the model's serving mode: fp32 mode keeps
+        # 6-pass HIGHEST (token-identical to the exact-f32 oracle); bf16
+        # serving mode — already documented as not bit-stable vs fp32 — uses a
+        # 3-pass hi/lo split (~16 mantissa bits), halving the MXU passes the
+        # kernel is bound by.
+        if fast_dots:
+            def dot(a, bm):
+                a_hi = a.astype(jnp.bfloat16)
+                a_lo = (a - a_hi.astype(f32)).astype(jnp.bfloat16)
+                b_hi = bm.astype(jnp.bfloat16)
+                b_lo = (bm - b_hi.astype(f32)).astype(jnp.bfloat16)
+                dg = lambda p, q: jnp.dot(p, q, preferred_element_type=f32,
+                                          precision=jax.lax.Precision.DEFAULT)
+                return dg(a_hi, b_hi) + dg(a_hi, b_lo) + dg(a_lo, b_hi)
+        else:
+            def dot(a, bm):
+                return jnp.dot(a, bm, preferred_element_type=f32,
+                               precision=jax.lax.Precision.HIGHEST)
+        enc_t = enc_ref[sub, :, :].astype(f32)                     # [B, E]
+        e_j = dot(enc_t, we_ref[...]) + be_ref[...]              # [B, J]
+        dec_in0 = e0_ref[...]                                    # [B*beam, D]
+        dec_in1 = e1_ref[...]
+        d0 = dot(dec_in0, w0_ref[...]) + dot(dec_in1, w1_ref[...])
+        dec_out = jnp.maximum(d0, 0.0)                           # [B*beam, D]
+        d_j = dot(dec_out, wdp_ref[...]) + bdp_ref[...]
+        j_dim = d_j.shape[-1]
+        h = jnp.tanh(d_j.reshape(b, beam, j_dim) + e_j[:, None, :])
+        logits = dot(h.reshape(b * beam, j_dim), wo_ref[...]) + bo_ref[...]
 
-    m0 = jnp.max(logits, axis=-1, keepdims=True)
-    z = logits - m0
-    lse = jnp.log(jnp.sum(jnp.exp(z), axis=-1, keepdims=True))
-    lp = z - lse                                             # [B*beam, V]
-    lp3 = lp.reshape(b, beam, v)
-    p3 = jnp.exp(lp3)
+        m0 = jnp.max(logits, axis=-1, keepdims=True)
+        z = logits - m0
+        lse = jnp.log(jnp.sum(jnp.exp(z), axis=-1, keepdims=True))
+        lp = z - lse                                             # [B*beam, V]
+        lp3 = lp.reshape(b, beam, v)
+        p3 = jnp.exp(lp3)
 
-    logp_old = logp_ref[...]                                 # [B, beam]
-    acc = lp3 + logp_old[:, :, None]                         # [B, beam, V]
+        logp_old = logp_ref[...]                                 # [B, beam]
+        acc = lp3 + logp_old[:, :, None]                         # [B, beam, V]
 
-    # ---- exact top-k: beam passes of (max, min-flat-index, mask) --------
-    beam_iota3 = jax.lax.broadcasted_iota(jnp.int32, (b, beam, v), 1)
-    lane_iota3 = jax.lax.broadcasted_iota(jnp.int32, (b, beam, v), 2)
-    flat_id = beam_iota3 * v + lane_iota3                    # [B, beam, V]
-    flat_f = flat_id.astype(f32)  # ids < 2^24: exact in f32 (int32 == with
-    #                               broadcast operands miscompares on Mosaic)
-    his, toks, scores = [], [], []
-    for _p in range(beam):
-        # two-stage reductions: Mosaic rejects [B,1,1] (1,1)-minor arrays
-        mrow = jnp.max(acc, axis=-1)                          # [B, beam]
-        mx = jnp.max(mrow, axis=-1, keepdims=True)            # [B, 1]
-        # NOTE: jnp.broadcast_to of [X,1] lane vectors TRANSPOSES on
-        # Mosaic (observed on v5e) — broadcast arithmetically instead.
-        mxb = (mx + jnp.zeros((b, beam), f32))[:, :, None]    # [B, beam, 1]
-        cand = jnp.where(acc == mxb, flat_id, _INT_BIG)
-        cmin = jnp.min(cand, axis=-1)                         # [B, beam]
-        fmin = jnp.min(cmin, axis=-1, keepdims=True)          # [B, 1]
-        his.append(fmin // v)                                 # [B, 1]
-        toks.append(fmin % v)
-        scores.append(mx)
-        fminb = (fmin.astype(f32) + jnp.zeros((b, beam), f32))[:, :, None]
-        acc = jnp.where(flat_f == fminb, f32(NEG_INF), acc)
-    hi = jnp.concatenate(his, axis=1)                        # [B, beam]
-    tok = jnp.concatenate(toks, axis=1)
-    top_scores = jnp.concatenate(scores, axis=1)             # [B, beam]
-    is_blank = tok == blank_id
+        # ---- exact top-k: beam passes of (max, min-flat-index, mask) --------
+        beam_iota3 = jax.lax.broadcasted_iota(jnp.int32, (b, beam, v), 1)
+        lane_iota3 = jax.lax.broadcasted_iota(jnp.int32, (b, beam, v), 2)
+        flat_id = beam_iota3 * v + lane_iota3                    # [B, beam, V]
+        flat_f = flat_id.astype(f32)  # ids < 2^24: exact in f32 (int32 == with
+        #                               broadcast operands miscompares on Mosaic)
+        his, toks, scores = [], [], []
+        for _p in range(beam):
+            # two-stage reductions: Mosaic rejects [B,1,1] (1,1)-minor arrays
+            mrow = jnp.max(acc, axis=-1)                          # [B, beam]
+            mx = jnp.max(mrow, axis=-1, keepdims=True)            # [B, 1]
+            # NOTE: jnp.broadcast_to of [X,1] lane vectors TRANSPOSES on
+            # Mosaic (observed on v5e) — broadcast arithmetically instead.
+            mxb = (mx + jnp.zeros((b, beam), f32))[:, :, None]    # [B, beam, 1]
+            cand = jnp.where(acc == mxb, flat_id, _INT_BIG)
+            cmin = jnp.min(cand, axis=-1)                         # [B, beam]
+            fmin = jnp.min(cmin, axis=-1, keepdims=True)          # [B, 1]
+            his.append(fmin // v)                                 # [B, 1]
+            toks.append(fmin % v)
+            scores.append(mx)
+            fminb = (fmin.astype(f32) + jnp.zeros((b, beam), f32))[:, :, None]
+            acc = jnp.where(flat_f == fminb, f32(NEG_INF), acc)
+        hi = jnp.concatenate(his, axis=1)                        # [B, beam]
+        tok = jnp.concatenate(toks, axis=1)
+        top_scores = jnp.concatenate(scores, axis=1)             # [B, beam]
+        is_blank = tok == blank_id
 
-    # One-hot of the selected token per candidate — shared by the hotword
-    # table fetch and the new-context embedding fetch below. Exact in bf16
-    # (0/1 values).
-    lane_v3 = jax.lax.broadcasted_iota(jnp.int32, (b, beam, v), 2)
-    onehot = (lane_v3 == tok[:, :, None]).astype(jnp.bfloat16).reshape(
-        b * beam, v)
+        # One-hot of the selected token per candidate — shared by the hotword
+        # table fetch and the new-context embedding fetch below. Exact in bf16
+        # (0/1 values).
+        lane_v3 = jax.lax.broadcasted_iota(jnp.int32, (b, beam, v), 2)
+        onehot = (lane_v3 == tok[:, :, None]).astype(jnp.bfloat16).reshape(
+            b * beam, v)
 
-    # ---- hotword boost (after top-k, asr_engine.py:1127-1131) -----------
-    if with_hw:
-        # Parent automaton state for each candidate (unrolled select).
-        p_hw = jnp.zeros((b, beam), jnp.int32)
+        # ---- hotword boost (after top-k, asr_engine.py:1127-1131) -----------
+        if with_hw:
+            # Parent automaton state for each candidate (unrolled select).
+            p_hw = jnp.zeros((b, beam), jnp.int32)
+            for i in range(beam):
+                p_hw = jnp.where(hi == i, hw_ref[:, i:i + 1], p_hw)
+            # Fetch column tok of both tables for every candidate:
+            # tmp[j, :] = [delta[:, tok_j].T | next_state[:, tok_j].T] via one
+            # exact-f32 3-pass one-hot matmul against the [V, 2*S_pad]
+            # transposed tables.
+            dflt = jax.lax.Precision.DEFAULT
+            tmp = (jnp.dot(onehot, tbl_hi_ref[...], preferred_element_type=f32,
+                           precision=dflt)
+                   + jnp.dot(onehot, tbl_mid_ref[...],
+                             preferred_element_type=f32, precision=dflt)
+                   + jnp.dot(onehot, tbl_lo_ref[...],
+                             preferred_element_type=f32,
+                             precision=dflt))                 # [B*beam, 2*S_pad]
+            delta_rows = tmp[:, :s_pad].reshape(b, beam, s_pad)
+            next_rows = tmp[:, s_pad:].reshape(b, beam, s_pad)
+            # Row select by parent state: f32 one-hot over S_pad (compare in
+            # f32 — int32 broadcast compares miscompile on Mosaic).
+            s_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (b, beam, s_pad), 2).astype(f32)
+            p_hwf = p_hw.astype(f32)[:, :, None]
+            oh_s = (s_iota == p_hwf).astype(f32)
+            delta = jnp.sum(delta_rows * oh_s, axis=-1)           # [B, beam]
+            next_s = jnp.sum(next_rows * oh_s, axis=-1).astype(jnp.int32)
+            apply_hw = (~is_blank) & (tok != unk_id)
+            boosted = top_scores + jnp.where(apply_hw, delta, f32(0.0))
+            new_hw = jnp.where(apply_hw, next_s, p_hw)
+        else:
+            boosted = top_scores
+
+        # ---- per-beam entropy metrics from the raw logits -------------------
+        # Computed as four [B, beam] rows (the recording side streams them per
+        # frame; see rec_met below).
+        alpha, max_entropy, tsallis_max = _metrics_const(v)
+        entropy = -jnp.sum(p3 * lp3, axis=-1)                    # [B, beam]
+        tsallis = (1.0 / (alpha - 1.0)) * (
+            1.0 - jnp.sum(jnp.exp(lp3 * alpha), axis=-1))
+        pm1k = jnp.max(p3, axis=-1, keepdims=True)               # [B, beam, 1]
+        # Mask ONLY the argmax lane (min flat index among ties, matching
+        # lax.top_k first-occurrence semantics in ops/beam_search._entropy_metrics)
+        # so an exact probability tie yields margin pm1-pm2 == 0, not the next
+        # distinct value. f32 lane indices: integer-exact below 2^24, and f32
+        # compares avoid the Mosaic int32 broadcast-compare miscompile.
+        lane_f3 = jax.lax.broadcasted_iota(jnp.int32, (b, beam, v), 2).astype(f32)
+        tie_lane = jnp.where(p3 == pm1k, lane_f3, f32(v))
+        amin = jnp.min(tie_lane, axis=-1, keepdims=True)         # [B, beam, 1]
+        pmask = jnp.where(lane_f3 == amin, f32(-1.0), p3)
+        pm1 = pm1k[:, :, 0]
+        pm2 = jnp.max(pmask, axis=-1)                            # [B, beam]
+        mets = (tsallis / tsallis_max, pm1 - pm2,
+                entropy / max_entropy, pm1)                      # 4 x [B, beam]
+
+        # ---- gather parent state (unrolled over old beams) ------------------
+        hi3 = hi[:, :, None]  # int32 expand (bool minor-dim reshapes crash)
+
+        def gather_rows(ref3):
+            old = ref3  # [B, beam, X]
+            out = jnp.zeros_like(old)
+            for i in range(beam):
+                out = jnp.where(hi3 == i, old[:, i:i + 1, :], out)
+            return out
+
+        def gather2(a):
+            out = jnp.zeros_like(a)
+            for i in range(beam):
+                out = jnp.where(hi == i, a[:, i:i + 1], out)
+            return out
+
+        p_tokens = gather_rows(tokens_ref[...])
+        p_n = gather2(n_emit_ref[...])
+        p_logp = gather2(logp_old)
+        p_mets = [gather2(m) for m in mets]
+        d = e0_ref.shape[-1]
+        p_e0 = gather_rows(e0_ref[...].reshape(b, beam, d))
+        p_e1 = gather_rows(e1_ref[...].reshape(b, beam, d))
+
+        # ---- new context embeddings ----------------------------------------
+        # Exact f32 row fetch in 3 bf16 MXU passes: emb = hi + mid + lo with 8
+        # mantissa bits each (24 total = f32), and onehot (0/1) is bf16-exact.
+        demb = jax.lax.Precision.DEFAULT
+        emb_new = (jnp.dot(onehot, emb_hi_ref[...], preferred_element_type=f32,
+                           precision=demb)
+                   + jnp.dot(onehot, emb_mid_ref[...], preferred_element_type=f32,
+                             precision=demb)
+                   + jnp.dot(onehot, emb_lo_ref[...], preferred_element_type=f32,
+                             precision=demb))
+        emb_new = emb_new.reshape(b, beam, d)
+        blank3 = tok[:, :, None] == blank_id
+        new_e0 = jnp.where(blank3, p_e0, p_e1)
+        new_e1 = jnp.where(blank3, p_e1, emb_new)
+
+        # ---- positional token append ----------------------------------------
+        # Tokens stay VMEM-resident for the in-kernel dedup's EXACT sequence
+        # comparison; everything else emitted per frame (frames, tok_logp,
+        # metrics) streams out as grid-blocked records and is reconstructed
+        # from the parent backpointers after the kernel (see wrapper) — the
+        # old [B, beam, U] recording arrays cost ~8x their size in VMEM
+        # read/write traffic EVERY frame (unrolled parent gathers) and set
+        # the batch-32 VMEM ceiling.
+        cols = jax.lax.broadcasted_iota(jnp.int32, (b, beam, u), 2)
+        pos = jnp.clip(p_n, 0, u - 1)[:, :, None]
+        at_pos = (cols == pos) & (~blank3)
+        new_tokens = jnp.where(at_pos, tok[:, :, None], p_tokens)
+        # tok_lp == top_score - parent cumulative score (both f32, exact chain)
+        tok_lp = top_scores - p_logp
+        new_n = p_n + jnp.where(is_blank, 0, 1)
+
+        # ---- dedup: log-add merge of identical emitted sequences ------------
+        # equal[b, i, j] = sequences of new beams i and j identical
+        # Unrolled over old-beam index i; only 2D [B, beam] tensors (Mosaic
+        # rejects [B, i, j] middle-axis broadcasts). Merged scores are the
+        # (hotword-boosted) candidate scores, matching the XLA path's
+        # post-boost logsumexp.
+        eqs = []  # eqs[i][b, j]: new beams i and j carry identical sequences
         for i in range(beam):
-            p_hw = jnp.where(hi == i, hw_ref[:, i:i + 1], p_hw)
-        # Fetch column tok of both tables for every candidate:
-        # tmp[j, :] = [delta[:, tok_j].T | next_state[:, tok_j].T] via one
-        # exact-f32 3-pass one-hot matmul against the [V, 2*S_pad]
-        # transposed tables.
-        dflt = jax.lax.Precision.DEFAULT
-        tmp = (jnp.dot(onehot, tbl_hi_ref[...], preferred_element_type=f32,
-                       precision=dflt)
-               + jnp.dot(onehot, tbl_mid_ref[...],
-                         preferred_element_type=f32, precision=dflt)
-               + jnp.dot(onehot, tbl_lo_ref[...],
-                         preferred_element_type=f32,
-                         precision=dflt))                 # [B*beam, 2*S_pad]
-        delta_rows = tmp[:, :s_pad].reshape(b, beam, s_pad)
-        next_rows = tmp[:, s_pad:].reshape(b, beam, s_pad)
-        # Row select by parent state: f32 one-hot over S_pad (compare in
-        # f32 — int32 broadcast compares miscompile on Mosaic).
-        s_iota = jax.lax.broadcasted_iota(
-            jnp.int32, (b, beam, s_pad), 2).astype(f32)
-        p_hwf = p_hw.astype(f32)[:, :, None]
-        oh_s = (s_iota == p_hwf).astype(f32)
-        delta = jnp.sum(delta_rows * oh_s, axis=-1)           # [B, beam]
-        next_s = jnp.sum(next_rows * oh_s, axis=-1).astype(jnp.int32)
-        apply_hw = (~is_blank) & (tok != unk_id)
-        boosted = top_scores + jnp.where(apply_hw, delta, f32(0.0))
-        new_hw = jnp.where(apply_hw, next_s, p_hw)
-    else:
-        boosted = top_scores
-
-    # ---- per-beam entropy metrics from the raw logits -------------------
-    # Computed as four [B, beam] rows (the recording side streams them per
-    # frame; see rec_met below).
-    alpha, max_entropy, tsallis_max = _metrics_const(v)
-    entropy = -jnp.sum(p3 * lp3, axis=-1)                    # [B, beam]
-    tsallis = (1.0 / (alpha - 1.0)) * (
-        1.0 - jnp.sum(jnp.exp(lp3 * alpha), axis=-1))
-    pm1k = jnp.max(p3, axis=-1, keepdims=True)               # [B, beam, 1]
-    # Mask ONLY the argmax lane (min flat index among ties, matching
-    # lax.top_k first-occurrence semantics in ops/beam_search._entropy_metrics)
-    # so an exact probability tie yields margin pm1-pm2 == 0, not the next
-    # distinct value. f32 lane indices: integer-exact below 2^24, and f32
-    # compares avoid the Mosaic int32 broadcast-compare miscompile.
-    lane_f3 = jax.lax.broadcasted_iota(jnp.int32, (b, beam, v), 2).astype(f32)
-    tie_lane = jnp.where(p3 == pm1k, lane_f3, f32(v))
-    amin = jnp.min(tie_lane, axis=-1, keepdims=True)         # [B, beam, 1]
-    pmask = jnp.where(lane_f3 == amin, f32(-1.0), p3)
-    pm1 = pm1k[:, :, 0]
-    pm2 = jnp.max(pmask, axis=-1)                            # [B, beam]
-    mets = (tsallis / tsallis_max, pm1 - pm2,
-            entropy / max_entropy, pm1)                      # 4 x [B, beam]
-
-    # ---- gather parent state (unrolled over old beams) ------------------
-    hi3 = hi[:, :, None]  # int32 expand (bool minor-dim reshapes crash)
-
-    def gather_rows(ref3):
-        old = ref3  # [B, beam, X]
-        out = jnp.zeros_like(old)
+            same = (new_tokens == new_tokens[:, i:i + 1, :]) | \
+                (cols >= new_n[:, :, None])
+            # bool all-reduce misfires in Mosaic: reduce in int32 instead
+            all_same = jnp.min(same.astype(jnp.int32), axis=-1) == 1
+            eqs.append(all_same & (new_n == new_n[:, i:i + 1]))   # [B, beam(j)]
+        # canon[b, j] = min{i <= j : eqs[i]} (diagonal always true)
+        j_self = jax.lax.broadcasted_iota(jnp.int32, (b, beam), 1)
+        canon = j_self
+        for i in reversed(range(beam)):
+            canon = jnp.where(eqs[i] & (i <= j_self), i, canon)
+        is_canon = canon == j_self
+        # merged[b, i] = logsumexp over {j : canon[b, j] == i} of boosted scores
+        merged_cols = []
         for i in range(beam):
-            out = jnp.where(hi3 == i, old[:, i:i + 1, :], out)
-        return out
+            vals = jnp.where(canon == i, boosted, f32(NEG_INF))
+            mloc = jnp.max(vals, axis=-1, keepdims=True)          # [B, 1]
+            ssum = jnp.sum(jnp.exp(vals - mloc), axis=-1, keepdims=True)
+            merged_cols.append(mloc + jnp.log(ssum))
+        merged = jnp.concatenate(merged_cols, axis=1)             # [B, beam]
+        new_logp = jnp.where(is_canon, merged, f32(NEG_INF))
 
-    def gather2(a):
-        out = jnp.zeros_like(a)
-        for i in range(beam):
-            out = jnp.where(hi == i, a[:, i:i + 1], out)
-        return out
+        # ---- frames past each chunk's valid length are no-ops ---------------
+        # NOTE: int32 compare against an arithmetic-broadcast operand
+        # MISCOMPARES on Mosaic (silently; interpret mode is fine) — broadcast
+        # and compare in f32 (values < 2^24, exact).
+        lens2f = lens_ref[...].astype(f32) + jnp.zeros((b, beam), f32)
+        tf = jnp.int32(0) + pid * unroll + sub  # traced scalar
+        valid = tf.astype(f32) < lens2f
+        valid3 = tf.astype(f32) < lens2f[:, :, None]
 
-    p_tokens = gather_rows(tokens_ref[...])
-    p_n = gather2(n_emit_ref[...])
-    p_logp = gather2(logp_old)
-    p_mets = [gather2(m) for m in mets]
-    d = e0_ref.shape[-1]
-    p_e0 = gather_rows(e0_ref[...].reshape(b, beam, d))
-    p_e1 = gather_rows(e1_ref[...].reshape(b, beam, d))
+        def upd(ref, new, old):
+            ref[...] = jnp.where(valid3 if new.ndim == 3 else valid, new, old)
 
-    # ---- new context embeddings ----------------------------------------
-    # Exact f32 row fetch in 3 bf16 MXU passes: emb = hi + mid + lo with 8
-    # mantissa bits each (24 total = f32), and onehot (0/1) is bf16-exact.
-    demb = jax.lax.Precision.DEFAULT
-    emb_new = (jnp.dot(onehot, emb_hi_ref[...], preferred_element_type=f32,
-                       precision=demb)
-               + jnp.dot(onehot, emb_mid_ref[...], preferred_element_type=f32,
-                         precision=demb)
-               + jnp.dot(onehot, emb_lo_ref[...], preferred_element_type=f32,
-                         precision=demb))
-    emb_new = emb_new.reshape(b, beam, d)
-    blank3 = tok[:, :, None] == blank_id
-    new_e0 = jnp.where(blank3, p_e0, p_e1)
-    new_e1 = jnp.where(blank3, p_e1, emb_new)
+        # per-frame records: on invalid frames the parent is the identity and
+        # the token is blank, so the backward reconstruction walks through
+        # them untouched.
+        j_iota = jax.lax.broadcasted_iota(jnp.int32, (b, beam), 1)
+        rec_par_ref[sub] = jnp.where(valid, hi, j_iota)
+        rec_tok_ref[sub] = jnp.where(valid, tok, blank_id)
+        rec_lp_ref[sub] = tok_lp
+        rec_met_ref[sub] = jnp.concatenate(p_mets, axis=1)          # [B, 4*beam]
 
-    # ---- positional token append ----------------------------------------
-    # Tokens stay VMEM-resident for the in-kernel dedup's EXACT sequence
-    # comparison; everything else emitted per frame (frames, tok_logp,
-    # metrics) streams out as grid-blocked records and is reconstructed
-    # from the parent backpointers after the kernel (see wrapper) — the
-    # old [B, beam, U] recording arrays cost ~8x their size in VMEM
-    # read/write traffic EVERY frame (unrolled parent gathers) and set
-    # the batch-32 VMEM ceiling.
-    cols = jax.lax.broadcasted_iota(jnp.int32, (b, beam, u), 2)
-    pos = jnp.clip(p_n, 0, u - 1)[:, :, None]
-    at_pos = (cols == pos) & (~blank3)
-    new_tokens = jnp.where(at_pos, tok[:, :, None], p_tokens)
-    # tok_lp == top_score - parent cumulative score (both f32, exact chain)
-    tok_lp = top_scores - p_logp
-    new_n = p_n + jnp.where(is_blank, 0, 1)
+        upd(tokens_ref, new_tokens, tokens_ref[...])
+        upd(n_emit_ref, new_n, n_emit_ref[...])
+        upd(logp_ref, new_logp, logp_ref[...])
+        if with_hw:
+            upd(hw_ref, new_hw, hw_ref[...])
+        e0_ref[...] = jnp.where(valid3, new_e0,
+                                e0_ref[...].reshape(b, beam, d)).reshape(
+            b * beam, d)
+        e1_ref[...] = jnp.where(valid3, new_e1,
+                                e1_ref[...].reshape(b, beam, d)).reshape(
+            b * beam, d)
 
-    # ---- dedup: log-add merge of identical emitted sequences ------------
-    # equal[b, i, j] = sequences of new beams i and j identical
-    # Unrolled over old-beam index i; only 2D [B, beam] tensors (Mosaic
-    # rejects [B, i, j] middle-axis broadcasts). Merged scores are the
-    # (hotword-boosted) candidate scores, matching the XLA path's
-    # post-boost logsumexp.
-    eqs = []  # eqs[i][b, j]: new beams i and j carry identical sequences
-    for i in range(beam):
-        same = (new_tokens == new_tokens[:, i:i + 1, :]) | \
-            (cols >= new_n[:, :, None])
-        # bool all-reduce misfires in Mosaic: reduce in int32 instead
-        all_same = jnp.min(same.astype(jnp.int32), axis=-1) == 1
-        eqs.append(all_same & (new_n == new_n[:, i:i + 1]))   # [B, beam(j)]
-    # canon[b, j] = min{i <= j : eqs[i]} (diagonal always true)
-    j_self = jax.lax.broadcasted_iota(jnp.int32, (b, beam), 1)
-    canon = j_self
-    for i in reversed(range(beam)):
-        canon = jnp.where(eqs[i] & (i <= j_self), i, canon)
-    is_canon = canon == j_self
-    # merged[b, i] = logsumexp over {j : canon[b, j] == i} of boosted scores
-    merged_cols = []
-    for i in range(beam):
-        vals = jnp.where(canon == i, boosted, f32(NEG_INF))
-        mloc = jnp.max(vals, axis=-1, keepdims=True)          # [B, 1]
-        ssum = jnp.sum(jnp.exp(vals - mloc), axis=-1, keepdims=True)
-        merged_cols.append(mloc + jnp.log(ssum))
-    merged = jnp.concatenate(merged_cols, axis=1)             # [B, beam]
-    new_logp = jnp.where(is_canon, merged, f32(NEG_INF))
-
-    # ---- frames past each chunk's valid length are no-ops ---------------
-    # NOTE: int32 compare against an arithmetic-broadcast operand
-    # MISCOMPARES on Mosaic (silently; interpret mode is fine) — broadcast
-    # and compare in f32 (values < 2^24, exact).
-    lens2f = lens_ref[...].astype(f32) + jnp.zeros((b, beam), f32)
-    tf = jnp.int32(0) + t  # traced scalar
-    valid = tf.astype(f32) < lens2f
-    valid3 = tf.astype(f32) < lens2f[:, :, None]
-
-    def upd(ref, new, old):
-        ref[...] = jnp.where(valid3 if new.ndim == 3 else valid, new, old)
-
-    # per-frame records: on invalid frames the parent is the identity and
-    # the token is blank, so the backward reconstruction walks through
-    # them untouched.
-    j_iota = jax.lax.broadcasted_iota(jnp.int32, (b, beam), 1)
-    rec_par_ref[0] = jnp.where(valid, hi, j_iota)
-    rec_tok_ref[0] = jnp.where(valid, tok, blank_id)
-    rec_lp_ref[0] = tok_lp
-    rec_met_ref[0] = jnp.concatenate(p_mets, axis=1)          # [B, 4*beam]
-
-    upd(tokens_ref, new_tokens, tokens_ref[...])
-    upd(n_emit_ref, new_n, n_emit_ref[...])
-    upd(logp_ref, new_logp, logp_ref[...])
-    if with_hw:
-        upd(hw_ref, new_hw, hw_ref[...])
-    e0_ref[...] = jnp.where(valid3, new_e0,
-                            e0_ref[...].reshape(b, beam, d)).reshape(
-        b * beam, d)
-    e1_ref[...] = jnp.where(valid3, new_e1,
-                            e1_ref[...].reshape(b, beam, d)).reshape(
-        b * beam, d)
+    for _s in range(unroll):
+        _frame(_s)
 
 
 def _split3(a):
@@ -366,13 +371,14 @@ def _split3(a):
 
 
 @partial(jax.jit, static_argnames=("cfg", "beam_size", "interpret",
-                                  "fast_dots", "with_hotwords"))
+                                  "fast_dots", "with_hotwords", "unroll"))
 def beam_search_batch_pallas(enc_out, enc_lens, dec_params, joi_params,
                              cfg: RnntConfig, beam_size: int = 8,
                              interpret: bool = False,
                              fast_dots: bool = False,
                              hw_tables=None,
-                             with_hotwords: bool = False) -> BeamResult:
+                             with_hotwords: bool = False,
+                             unroll: int = 1) -> BeamResult:
     """Pallas megakernel variant of beam_search_batch.
 
     enc_out: [N, T, E] float32; enc_lens: [N] int32. Returns BeamResult with
@@ -382,6 +388,10 @@ def beam_search_batch_pallas(enc_out, enc_lens, dec_params, joi_params,
     """
     b, t_max, _e = enc_out.shape
     u = t_max
+    # Grid runs unroll frames per step; the frame axis pads up to a
+    # multiple (padding frames are masked no-ops: lens gate writes, the
+    # record rows hold identity parents / blank tokens).
+    t_pad = -(-t_max // unroll) * unroll
     v = cfg.vocab_size
     beam = beam_size
     f32 = jnp.float32
@@ -415,7 +425,8 @@ def beam_search_batch_pallas(enc_out, enc_lens, dec_params, joi_params,
 
     kernel = partial(_beam_kernel, b=b, beam=beam, u=u, v=v,
                      blank_id=cfg.blank_id, unk_id=cfg.unk_id,
-                     fast_dots=fast_dots, with_hw=with_hw, s_pad=s_pad)
+                     fast_dots=fast_dots, with_hw=with_hw, s_pad=s_pad,
+                     unroll=unroll)
     out_shapes = [
         jax.ShapeDtypeStruct((b, beam, u), jnp.int32),    # tokens
         jax.ShapeDtypeStruct((b, beam), jnp.int32),       # n_emit
@@ -429,27 +440,27 @@ def beam_search_batch_pallas(enc_out, enc_lens, dec_params, joi_params,
     # Per-frame records stream straight to HBM via grid-indexed blocks —
     # only the token array stays VMEM-resident (exact dedup needs it).
     out_shapes += [
-        jax.ShapeDtypeStruct((t_max, b, beam), jnp.int32),   # rec_par
-        jax.ShapeDtypeStruct((t_max, b, beam), jnp.int32),   # rec_tok
-        jax.ShapeDtypeStruct((t_max, b, beam), f32),         # rec_lp
-        jax.ShapeDtypeStruct((t_max, b, 4 * beam), f32),     # rec_met
+        jax.ShapeDtypeStruct((t_pad, b, beam), jnp.int32),   # rec_par
+        jax.ShapeDtypeStruct((t_pad, b, beam), jnp.int32),   # rec_tok
+        jax.ShapeDtypeStruct((t_pad, b, beam), f32),         # rec_lp
+        jax.ShapeDtypeStruct((t_pad, b, 4 * beam), f32),     # rec_met
     ]
     out_specs += [
-        pl.BlockSpec((1, b, beam), lambda t: (t, 0, 0),
+        pl.BlockSpec((unroll, b, beam), lambda t: (t, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, b, beam), lambda t: (t, 0, 0),
+        pl.BlockSpec((unroll, b, beam), lambda t: (t, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, b, beam), lambda t: (t, 0, 0),
+        pl.BlockSpec((unroll, b, beam), lambda t: (t, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, b, 4 * beam), lambda t: (t, 0, 0),
+        pl.BlockSpec((unroll, b, 4 * beam), lambda t: (t, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     outs = pl.pallas_call(
         kernel,
-        grid=(t_max,),
+        grid=(t_pad // unroll,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),            # lens [B,1]
-            pl.BlockSpec((1, b, enc_out.shape[2]),
+            pl.BlockSpec((unroll, b, enc_out.shape[2]),
                          lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),            # emb_hi
             pl.BlockSpec(memory_space=pltpu.VMEM),            # emb_mid
@@ -480,7 +491,8 @@ def beam_search_batch_pallas(enc_out, enc_lens, dec_params, joi_params,
             transcendentals=t_max * b * beam * v * 4,
         ),
     )(enc_lens.astype(jnp.int32).reshape(b, 1),
-      jnp.swapaxes(enc_out.astype(f32), 0, 1),  # [T, B, E] for (1,B,E) blocks
+      jnp.pad(jnp.swapaxes(enc_out.astype(f32), 0, 1),  # [T_pad, B, E] blocks
+              ((0, t_pad - t_max), (0, 0), (0, 0))),
       emb_hi, emb_mid, emb_lo, w0, w1, wdp, bdp, we, be, wo, bo, *hw_args)
     if with_hw:
         tokens, n_emit, logp, hw_state, rec_par, rec_tok, rec_lp, \
@@ -502,7 +514,7 @@ def beam_search_batch_pallas(enc_out, enc_lens, dec_params, joi_params,
     # Values are the exact f32s the kernel computed, so the result is
     # bit-identical to the old VMEM recording arrays.
     n_sel = take(n_emit)                                      # [B]
-    rec_met4 = rec_met.reshape(t_max, b, 4, beam)
+    rec_met4 = rec_met.reshape(t_pad, b, 4, beam)
 
     def walk(carry, xs):
         cur, idx = carry                                      # [B], [B]
@@ -518,16 +530,16 @@ def beam_search_batch_pallas(enc_out, enc_lens, dec_params, joi_params,
         new_cur = sel(par_t)
         return (new_cur, new_idx), (pos, emitted, lp_c, met_c)
 
-    t_ids = jnp.arange(t_max, dtype=jnp.int32)
+    t_ids = jnp.arange(t_pad, dtype=jnp.int32)
     (_, _), (poss, emits, lps, mets) = jax.lax.scan(
         walk, (best.astype(jnp.int32), n_sel),
         (rec_par, rec_tok, rec_lp, rec_met4, t_ids), reverse=True)
     # Scatter per-emission values into [B, U] arrays (drop-trick: invalid
     # rows target column u).
-    poss = jnp.where(emits, jnp.clip(poss, 0, u - 1), u)      # [T, B]
-    bb = jnp.broadcast_to(jnp.arange(b)[None, :], (t_max, b))
+    poss = jnp.where(emits, jnp.clip(poss, 0, u - 1), u)      # [T_pad, B]
+    bb = jnp.broadcast_to(jnp.arange(b)[None, :], (t_pad, b))
     frames = jnp.zeros((b, u + 1), jnp.int32).at[
-        bb, poss].set(jnp.broadcast_to(t_ids[:, None], (t_max, b))
+        bb, poss].set(jnp.broadcast_to(t_ids[:, None], (t_pad, b))
                       )[:, :u]
     tok_logp = jnp.zeros((b, u + 1), f32).at[bb, poss].set(lps)[:, :u]
     ent = jnp.zeros((b, u + 1, 4), f32).at[bb, poss].set(mets)[:, :u]

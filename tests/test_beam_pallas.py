@@ -218,3 +218,55 @@ def test_pallas_margin_zero_on_exact_tie(rng):
     out_m = np.asarray(out.entropy)[0, :n, 1]
     np.testing.assert_allclose(ref_m, 0.0, atol=1e-6)
     np.testing.assert_allclose(out_m, ref_m, atol=1e-6)
+
+
+@pytest.mark.parametrize("T", [20, 19])  # even and odd (frame-axis padding)
+def test_pallas_beam_unroll2_parity(rng, T):
+    """unroll=2 (two frames per grid step) is bit-identical to unroll=1:
+    same state chain, same streamed records, frame padding is a no-op."""
+    model = random_asr_model(vocab_size=48, beam_size=8,
+                             compute_dtype="float32")
+    B, E = 3, model.rnnt_cfg.encoder_out_dim
+    enc = jnp.asarray(rng.standard_normal((B, T, E)).astype(np.float32))
+    lens = jnp.asarray([T, T - 6, 1], jnp.int32)
+    ref = beam_search_batch_pallas(enc, lens, model.dec_params,
+                                   model.joi_params, model.rnnt_cfg,
+                                   beam_size=8, interpret=True)
+    out = beam_search_batch_pallas(enc, lens, model.dec_params,
+                                   model.joi_params, model.rnnt_cfg,
+                                   beam_size=8, interpret=True, unroll=2)
+    assert np.array_equal(np.asarray(out.tokens), np.asarray(ref.tokens))
+    assert np.array_equal(np.asarray(out.frames), np.asarray(ref.frames))
+    assert np.array_equal(np.asarray(out.num_tokens),
+                          np.asarray(ref.num_tokens))
+    np.testing.assert_array_equal(np.asarray(out.total_logp),
+                                  np.asarray(ref.total_logp))
+    np.testing.assert_array_equal(np.asarray(out.tok_logp),
+                                  np.asarray(ref.tok_logp))
+    np.testing.assert_array_equal(np.asarray(out.entropy),
+                                  np.asarray(ref.entropy))
+
+
+def test_pallas_beam_unroll2_hotword_parity(rng):
+    """unroll=2 with the in-kernel hotword automaton matches unroll=1."""
+    from sherpa_vietnamese_asr_tpu.ops.hotword import build_hotword_tables
+
+    model = random_asr_model(vocab_size=48, beam_size=8,
+                             compute_dtype="float32")
+    B, T, E = 2, 14, model.rnnt_cfg.encoder_out_dim
+    enc = jnp.asarray(rng.standard_normal((B, T, E)).astype(np.float32))
+    lens = jnp.asarray([T, 9], jnp.int32)
+    tables, _ = build_hotword_tables([[5, 7], [11, 3, 9]], [2.5, 2.5],
+                                     model.rnnt_cfg.vocab_size)
+    kw = dict(beam_size=8, interpret=True, hw_tables=tables,
+              with_hotwords=True)
+    ref = beam_search_batch_pallas(enc, lens, model.dec_params,
+                                   model.joi_params, model.rnnt_cfg, **kw)
+    out = beam_search_batch_pallas(enc, lens, model.dec_params,
+                                   model.joi_params, model.rnnt_cfg,
+                                   unroll=2, **kw)
+    assert np.array_equal(np.asarray(out.tokens), np.asarray(ref.tokens))
+    assert np.array_equal(np.asarray(out.num_tokens),
+                          np.asarray(ref.num_tokens))
+    np.testing.assert_array_equal(np.asarray(out.total_logp),
+                                  np.asarray(ref.total_logp))
