@@ -1,0 +1,35 @@
+# One-shot end-to-end: synthetic two-speaker 10-min WAV -> full pipeline
+# (ASR + pure diarization + punctuation + quality), fresh process.
+import sys
+import time
+
+import numpy as np
+
+t_start = time.time()
+import sherpa_vietnamese_asr_tpu as svt
+from sherpa_vietnamese_asr_tpu.utils.audio_io import write_wav
+
+sr = 16000
+dur = 600
+t = np.arange(sr * dur) / sr
+# alternating 6 s "speakers": different f0 + AM rates, gaps between turns
+x = np.zeros(sr * dur, np.float32)
+for k in range(dur // 6):
+    f0 = 180.0 if k % 2 == 0 else 320.0
+    am = 2.1 if k % 2 == 0 else 3.3
+    s, e = k * 6 * sr, (k * 6 + 5) * sr
+    tt = t[s:e]
+    x[s:e] = (0.3 * np.sin(2 * np.pi * f0 * tt)
+              * (0.5 + 0.5 * np.sin(2 * np.pi * am * tt))).astype(np.float32)
+x += 0.01 * np.random.default_rng(0).standard_normal(x.shape).astype(np.float32)
+write_wav("/tmp/cold10.wav", x, sr)
+
+model = svt.random_asr_model(vocab_size=2000, beam_size=8)
+cfg = {"speaker_diarization": True, "restore_punctuation": True,
+       "quality_analysis": True}
+t0 = time.time()
+res = svt.TranscriberPipeline("/tmp/cold10.wav", model, config=cfg).run()
+dt = time.time() - t0
+print(f"import+model: {t0 - t_start:.1f}s  pipeline: {dt:.1f}s  "
+      f"rtfx: {dur / dt:.0f}x")
+print("timing:", {k: round(v, 2) for k, v in res["timing"].items()})
