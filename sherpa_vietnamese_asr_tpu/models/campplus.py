@@ -16,6 +16,8 @@ from __future__ import annotations
 import dataclasses
 import math
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -82,6 +84,8 @@ def _resblock_init(keys, c_in, c_out, stride):
     return p
 
 
+@functools.partial(jax.jit, static_argnums=(1,),
+                   static_argnames=("cfg",))
 def init_campp_params(rng, cfg: CamppConfig = CamppConfig()):
     keys = iter(jax.random.split(rng, 4096))
     mc = cfg.m_channels

@@ -13,6 +13,8 @@ from __future__ import annotations
 import dataclasses
 import math
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -46,6 +48,8 @@ def _gln_init(c):
     return {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,))}
 
 
+@functools.partial(jax.jit, static_argnums=(1,),
+                   static_argnames=("cfg",))
 def init_convtasnet_params(rng, cfg: ConvTasNetConfig = ConvTasNetConfig()):
     keys = iter(jax.random.split(rng, 8 + cfg.n_repeats * cfg.n_blocks * 8))
     params = {

@@ -13,6 +13,8 @@ from __future__ import annotations
 import dataclasses
 import math
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -56,6 +58,8 @@ def _mel_matrix(cfg: DnsmosConfig) -> np.ndarray:
     return fb
 
 
+@functools.partial(jax.jit, static_argnums=(1,),
+                   static_argnames=("cfg",))
 def init_dnsmos_params(rng, cfg: DnsmosConfig = DnsmosConfig()):
     keys = jax.random.split(rng, len(cfg.channels) + 3)
     params = {"convs": [], "mel": jnp.asarray(_mel_matrix(cfg).T)}

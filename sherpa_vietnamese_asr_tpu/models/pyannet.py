@@ -16,6 +16,8 @@ from __future__ import annotations
 import dataclasses
 import math
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -42,6 +44,8 @@ class PyanNetConfig:
     min_band_hz: float = 50.0
 
 
+@functools.partial(jax.jit, static_argnums=(1,),
+                   static_argnames=("cfg",))
 def init_pyannet_params(rng, cfg: PyanNetConfig = PyanNetConfig()):
     keys = jax.random.split(rng, cfg.lstm_layers * 2 + 8)
     # SincConv parameterization: learnable (low_hz, band_hz) per filter,

@@ -14,6 +14,8 @@ from __future__ import annotations
 import dataclasses
 import math
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -52,6 +54,8 @@ def _bn_init(c):
             "mean": jnp.zeros((c,)), "var": jnp.ones((c,))}
 
 
+@functools.partial(jax.jit, static_argnums=(1,),
+                   static_argnames=("cfg",))
 def init_resnet_params(rng, cfg: ResNetSpeakerConfig = ResNetSpeakerConfig()):
     keys = iter(jax.random.split(rng, 256))
     params = {"conv1": _conv_init(next(keys), 3, 3, 1, cfg.base_channels),

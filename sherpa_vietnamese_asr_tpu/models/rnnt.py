@@ -16,6 +16,8 @@ from __future__ import annotations
 import dataclasses
 import math
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -31,6 +33,8 @@ class RnntConfig:
     unk_id: int = 2
 
 
+@functools.partial(jax.jit, static_argnums=(1,),
+                   static_argnames=("cfg",))
 def init_decoder_params(rng, cfg: RnntConfig):
     k1, k2 = jax.random.split(rng)
     d = cfg.decoder_dim
@@ -46,6 +50,8 @@ def init_decoder_params(rng, cfg: RnntConfig):
     }
 
 
+@functools.partial(jax.jit, static_argnums=(1,),
+                   static_argnames=("cfg",))
 def init_joiner_params(rng, cfg: RnntConfig):
     k1, k2, k3 = jax.random.split(rng, 3)
 

@@ -38,6 +38,8 @@ class SileroVadConfig:
     lstm_dim: int = STATE_DIM
 
 
+@functools.partial(jax.jit, static_argnums=(1,),
+                   static_argnames=("cfg",))
 def init_silero_params(rng, cfg: SileroVadConfig = SileroVadConfig()):
     keys = jax.random.split(rng, 8)
     # Fixed DFT basis for the STFT conv (magnitude); not trained.

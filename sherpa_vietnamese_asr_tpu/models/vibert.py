@@ -18,6 +18,8 @@ from __future__ import annotations
 import dataclasses
 import math
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -54,6 +56,8 @@ def _ln(d):
             "bias": jnp.zeros((d,), jnp.float32)}
 
 
+@functools.partial(jax.jit, static_argnums=(1,),
+                   static_argnames=("cfg",))
 def init_vibert_params(rng, cfg: ViBertConfig):
     keys = jax.random.split(rng, cfg.layers + 8)
     h = cfg.hidden

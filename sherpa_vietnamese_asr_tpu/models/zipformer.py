@@ -22,6 +22,8 @@ import dataclasses
 import math
 from typing import Sequence
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -527,6 +529,8 @@ def _convert_channels(x, d):
 # Full encoder
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnums=(1,),
+                   static_argnames=("cfg",))
 def init_zipformer_params(rng, cfg: ZipformerConfig = ZIPFORMER_30M):
     n_stacks = len(cfg.num_encoder_layers)
     keys = jax.random.split(rng, n_stacks + 2)

@@ -68,8 +68,12 @@ def ensure_setup():
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        # Cache everything, including short compiles.
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # Cache everything, including short compiles: on the tunneled axon
+        # backend even a jit(squeeze) compile is a ~0.33 s remote round
+        # trip, and a one-shot CLI run issues dozens of such tiny programs
+        # — at the default 1 s (or any nonzero) threshold they are re-paid
+        # in every fresh process.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:
         pass  # cache is an optimization only
