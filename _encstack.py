@@ -1,5 +1,5 @@
 # Scratch: per-stack encoder-layer timing, XLA path vs megakernel.
-# Usage: python _encstack.py <stack_idx> [xla|mk]
+# Usage: python _encstack.py <stack_idx> [xla|mk|mks]   (mks = streamed)
 import sys
 import time
 import dataclasses
@@ -26,16 +26,17 @@ rng = np.random.default_rng(0)
 x = jnp.asarray(rng.standard_normal((B, t, d)).astype(np.float32))
 
 N = 20
-if path == "mk":
+if path in ("mk", "mks"):
     from sherpa_vietnamese_asr_tpu.ops.encoder_layer import encoder_layer_pallas
     rev = jnp.asarray(Z._padded_rev_pos_emb(t, tp, cfg.pos_dim))
     xp = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
+    streamed = path == "mks"
 
     @jax.jit
     def run(xp):
         def body(i, carry):
             return encoder_layer_pallas(layer, carry * (1.0 + 1e-6 * i), rev,
-                                        lens, heads, cfg)
+                                        lens, heads, cfg, streamed=streamed)
         return jax.lax.fori_loop(0, N, body, xp).mean()
     arg = xp
 else:

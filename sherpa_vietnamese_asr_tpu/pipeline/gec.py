@@ -226,13 +226,28 @@ class GecBert:
                     sub = self.tokenizer.tokenize_word(w)
                 ids.extend(sub)
                 word_ids.extend([wi] * len(sub))
+            # BERT position-embedding ceiling; also bounds the shape-bucket
+            # set to {64, 128, 256, 512} (see warm_shapes).
+            ids = ids[:512]
+            word_ids = word_ids[:512]
             offsets = [0] + [j for j in range(1, len(word_ids))
                              if word_ids[j] != word_ids[j - 1]]
             ids_rows.append(ids)
             offset_rows.append(offsets)
-        # Bucket sequence dims to multiples of 16 to bound recompilation.
-        t_max = -(-max(len(r) for r in ids_rows) // 16) * 16
-        w_max = -(-max(len(r) for r in offset_rows) // 16) * 16
+        # Bucket sequence dims to powers of two (min 64) so the jit sees a
+        # handful of shapes total: with 56-word chunks the wordpiece dim
+        # lands in the 128 bucket and the offsets dim in 64 for virtually
+        # all real text, which `svt warmup` pre-compiles. Multiple-of-16
+        # buckets (the old scheme) produced a fresh ~10 s compile per
+        # transcript-dependent length.
+        def _bucket(n):
+            b = 64
+            while b < n:
+                b *= 2
+            return b
+
+        t_max = _bucket(max(len(r) for r in ids_rows))
+        w_max = _bucket(max(len(r) for r in offset_rows))
         b = len(ids_rows)
         input_ids = np.zeros((b, t_max), np.int32)
         attention = np.zeros((b, t_max), np.int32)
@@ -247,6 +262,25 @@ class GecBert:
             "token_type_ids": np.zeros_like(input_ids),
             "input_offsets": offsets,
         }
+
+    def warm_shapes(self):
+        """Pre-compile every minibatch shape `_run_model` can produce.
+
+        preprocess buckets the wordpiece dim to powers of two capped at 512
+        and the offsets dim is <= chunk words + 1 (bucket 64; 128 for
+        unsplit max_len inputs), so a handful of programs covers ANY
+        transcript — `svt warmup` calls this so a cold one-shot run never
+        compiles punctuation programs."""
+        import jax.numpy as jnp
+
+        mb = self.mini_batch_size
+        for t, w in ((64, 64), (128, 64), (256, 64), (512, 64), (128, 128)):
+            _vibert_forward_jit(
+                self.params,
+                jnp.ones((mb, t), jnp.int32),
+                jnp.ones((mb, t), jnp.int32),
+                jnp.zeros((mb, t), jnp.int32),
+                jnp.zeros((mb, w), jnp.int32), self.cfg)
 
     def _run_model(self, inputs):
         import jax.numpy as jnp

@@ -20,8 +20,8 @@ import time
 
 import numpy as np
 
-STAGES = ("decode", "streaming", "diarization", "punctuation", "quality",
-          "senko")
+STAGES = ("decode", "vad", "streaming", "diarization", "punctuation",
+          "quality", "senko")
 
 
 def warmup_programs(model, models_dir=None, stages=STAGES, log=print,
@@ -82,8 +82,28 @@ def warmup_programs(model, models_dir=None, stages=STAGES, log=print,
             build_punctuation_restorer,
         )
 
-        build_punctuation_restorer(model_dir=models_dir).restore(
-            "xin chao cac ban hom nay troi dep")
+        r = build_punctuation_restorer(model_dir=models_dir)
+        # Every minibatch shape the GEC padder can produce, then one real
+        # multi-chunk restore for the host-side path.
+        r.gec_model.warm_shapes()
+        r.restore(" ".join("xin chao cac ban hom nay troi dep qua"
+                           .split() * 40))
+
+    def _vad():
+        # Same blocked-VAD program the transcriber's default prob_fn uses
+        # (one fixed-block shape for any audio length).
+        import jax
+
+        from sherpa_vietnamese_asr_tpu.models import assets, silero_vad
+
+        loaded = assets.load_silero()
+        if loaded is not None:
+            params, cfg = loaded
+        else:
+            cfg = silero_vad.SileroVadConfig()
+            params = silero_vad.init_silero_params(jax.random.PRNGKey(0),
+                                                   cfg)
+        silero_vad.silero_vad_probs_streamed(params, _warm_audio(61), cfg=cfg)
 
     def _quality():
         from sherpa_vietnamese_asr_tpu.pipeline.quality import (
@@ -100,6 +120,7 @@ def warmup_programs(model, models_dir=None, stages=STAGES, log=print,
         SenkoCamppDiarizer().process(_warm_audio(70))
 
     stage("decode", _decode)
+    stage("vad", _vad)
     stage("streaming", _streaming)
     stage("diarization", _diarization)
     stage("punctuation", _punctuation)

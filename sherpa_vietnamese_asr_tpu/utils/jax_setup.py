@@ -75,5 +75,12 @@ def ensure_setup():
         # in every fresh process.
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        # Pallas/Mosaic payloads embed the full Python traceback of the
+        # trace site in their MLIR locations, so the SAME program traced
+        # from two call sites (e.g. `svt warmup` vs the pipeline) produced
+        # two different persistent-cache keys and the warmup never warmed
+        # the serving path. Location tracebacks are debug-only metadata —
+        # drop them so cache keys depend only on the computation.
+        jax.config.update("jax_include_full_tracebacks_in_locations", False)
     except Exception:
         pass  # cache is an optimization only
