@@ -13,7 +13,7 @@ from sherpa_vietnamese_asr_tpu.models.zipformer import zipformer_encoder
 from sherpa_vietnamese_asr_tpu.ops.beam_search_pallas import (
     beam_search_batch_pallas,
 )
-from sherpa_vietnamese_asr_tpu.ops.fbank import ASR_FBANK, compute_fbank_batch
+from sherpa_vietnamese_asr_tpu.pipeline.decoder import fbank_batch_jit
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 dtype = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
@@ -47,10 +47,10 @@ def bench(name, fn, *args):
 
 
 def f_fbank(a):
-    return compute_fbank_batch(a, ASR_FBANK, use_pallas=True).mean()
+    return fbank_batch_jit(a, use_pallas_fbank=True).mean()
 
 
-feats = compute_fbank_batch(audio, ASR_FBANK, use_pallas=True)
+feats = fbank_batch_jit(audio, use_pallas_fbank=True)
 n_frames = (lens + 80) // 160
 
 
@@ -69,7 +69,7 @@ def f_beam(e):
     r = beam_search_batch_pallas(e, enc_lens, model.dec_params,
                                  model.joi_params, model.rnnt_cfg,
                                  beam_size=8)
-    return r.logp.mean()
+    return r.total_logp.mean()
 
 
 t_fb = bench("fbank", f_fbank, audio)

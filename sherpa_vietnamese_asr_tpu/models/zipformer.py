@@ -554,11 +554,18 @@ def _use_layer_kernel(cfg: ZipformerConfig, stack_idx: int, t_ds: int) -> bool:
     """Gate for the whole-layer megakernel on stack `stack_idx`.
 
     Measured window (v5 chip, 8x33 s batch, PERFORMANCE.md round-3 table):
-    the kernel wins 2.4x at t_pad=512/H=4 (mid stacks), but LOSES when the
-    attention-weights scratch squeezes VMEM (t_pad >= 896: 1.8x slower —
-    block pipelining stalls) and when blocks are tiny with many heads
-    (t_pad=256/H=8: 2.8x slower — fixed per-(block, head) overhead). The
-    gate encodes that window plus a VMEM estimate for other configs."""
+    the kernel wins 2.4x at t_pad=512/H=4 (mid stacks), LOSES when blocks
+    are tiny with many heads (t_pad=256/H=8: 2.8x slower — fixed
+    per-(block, head) overhead), and cannot hold the [H*T, T] weights
+    scratch at stack0 sizes (t_pad=1664: 22 MB). t_pad=896 (stacks 1/5)
+    measured ~1.2x faster per layer in isolation but its 18.9 MB scoped-
+    vmem stack is over the 16 MB limit in some surrounding programs
+    (schedule-dependent Mosaic OOM) and the whole-encoder effect was a
+    wash — kept OFF. The streamed-HBM variant (encoder_layer_pallas
+    streamed=True, double-buffered DMA) compiles and is bit-identical at
+    any T but measured 2.03 vs 1.52 ms/layer against XLA at stack0 —
+    kept as harness, not gated in. The gate encodes the winning window
+    plus a VMEM estimate for other configs."""
     if cfg.layer_kernel == "never":
         return False
     if cfg.layer_kernel == "always":

@@ -119,8 +119,19 @@ def _layer_kernel(lens_ref, x_ref, poslin_ref,
                   norm_bias, norm_logscale,
                   byp_mid, byp_out,
                   out_ref,
-                  proj_s, w_s, v_s, c_s,
-                  *, t_pad, heads, qd, pd, vd, hna, ksize):
+                  *refs, t_pad, heads, qd, pd, vd, hna, ksize, streamed):
+    if streamed:
+        # w_hbm is an un-blocked ANY-memory-space OUTPUT (Mosaic rejects
+        # non-VMEM scratch allocations): 22 MB of HBM reused every grid
+        # step, its final contents are discarded by the wrapper. wvm2 is a
+        # ping-pong pair of [T, R] VMEM buffers; DMAs are double-buffered
+        # so the copy of block k overlaps the compute of block k+1. Every
+        # copy moves exactly t_pad*R bf16 bytes, so a wait may be issued
+        # through a descriptor with any same-shape src/dst pair (the
+        # semaphore counts bytes, not descriptors).
+        w_hbm, proj_s, wvm2, o_s, v_s, c_s, sem2 = refs
+    else:
+        proj_s, w_s, v_s, c_s = refs
     b = pl.program_id(0)
     lens_b = lens_ref[b]
     n_blocks = t_pad // R
@@ -131,6 +142,11 @@ def _layer_kernel(lens_ref, x_ref, poslin_ref,
     x_orig = x
     d = x.shape[-1]
 
+    def _wait_slot(slot):
+        pltpu.make_async_copy(
+            wvm2.at[slot], w_hbm.at[pl.ds(0, t_pad), pl.ds(0, R)],
+            sem2.at[slot]).wait()
+
     # ---- attention projections + shared weights (from PRE-layer x) -----
     proj_s[...] = _linear16(x, attn_in_w, attn_in_b)
 
@@ -138,14 +154,64 @@ def _layer_kernel(lens_ref, x_ref, poslin_ref,
         for h in range(heads):
             w = _attn_weights_block(i, h, proj_s, poslin_ref, lens_b,
                                     t_pad=t_pad, heads=heads, qd=qd, pd=pd)
-            w_s[pl.ds(h * t_pad, t_pad),
-                pl.ds(pl.multiple_of(i * R, R), R)] = w
+            if streamed:
+                k = i * heads + h
+                slot = jax.lax.rem(k, 2)
+
+                @pl.when(k >= 2)
+                def _():
+                    _wait_slot(slot)  # drain the previous copy OUT of slot
+
+                wvm2[slot] = w
+                pltpu.make_async_copy(
+                    wvm2.at[slot],
+                    w_hbm.at[pl.ds(h * t_pad, t_pad),
+                             pl.ds(pl.multiple_of(i * R, R), R)],
+                    sem2.at[slot]).start()
+            else:
+                w_s[pl.ds(h * t_pad, t_pad),
+                    pl.ds(pl.multiple_of(i * R, R), R)] = w
         return 0
 
     jax.lax.fori_loop(0, n_blocks, wblk, 0)
+    if streamed:
+        total = n_blocks * heads
+        for tail in (max(total - 2, 0), max(total - 1, 0)):
+            _wait_slot(tail % 2)
 
     def attend(h, v16):
-        """[T, vd] f32 = w_s[h]^T-contracted values (keys-major dot)."""
+        """[T, vd] f32 = w[h]^T-contracted values (keys-major dot)."""
+        if streamed:
+            width = v16.shape[-1]
+
+            def _start_read(i, slot):
+                pltpu.make_async_copy(
+                    w_hbm.at[pl.ds(h * t_pad, t_pad),
+                             pl.ds(pl.multiple_of(i * R, R), R)],
+                    wvm2.at[slot], sem2.at[slot]).start()
+
+            _start_read(0, 0)
+
+            def blk(i, _):
+                slot = jax.lax.rem(i, 2)
+
+                @pl.when(i + 1 < n_blocks)
+                def _():
+                    _start_read(pl.multiple_of(i + 1, 1),
+                                jax.lax.rem(i + 1, 2))
+
+                _wait_slot(slot)
+                ob = jax.lax.dot_general(
+                    wvm2[slot], v16,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)    # [R, width]
+                o_s[pl.ds(pl.multiple_of(i * R, R), R),
+                    pl.ds(0, width)] = ob
+                return 0
+
+            jax.lax.fori_loop(0, n_blocks, blk, 0)
+            return o_s[:, pl.ds(0, width)]
         w = w_s[pl.ds(h * t_pad, t_pad), :]                 # [S, T] bf16
         return jax.lax.dot_general(
             w, v16, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -228,12 +294,16 @@ def _r2(a, dt=jnp.bfloat16):
     return a.reshape(1, -1).astype(dt)
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "qd", "pd", "vd"))
-def _layer_pallas(x, lens, poslin, flat, heads, qd, pd, vd):
+@functools.partial(jax.jit,
+                   static_argnames=("heads", "qd", "pd", "vd", "streamed",
+                                    "interpret"))
+def _layer_pallas(x, lens, poslin, flat, heads, qd, pd, vd, streamed=False,
+                  interpret=False):
     """x: [B, T_pad, D] f32 (T_pad % 128 == 0); poslin [H, 2T-1+R, pd] bf16.
 
     flat: tuple of 2-D weight arrays in _layer_kernel order (bf16 except
-    the trailing norm/bypass params).
+    the trailing norm/bypass params). streamed=True keeps the attention
+    weights in an HBM scratch (long-sequence stacks).
     """
     bsz, t_pad, d = x.shape
     hna = flat[2].shape[1] // 3          # nl_in_w: [D, 3*hna]
@@ -241,7 +311,7 @@ def _layer_pallas(x, lens, poslin, flat, heads, qd, pd, vd):
     assert len(flat) == _N_FLAT
     kernel = functools.partial(
         _layer_kernel, t_pad=t_pad, heads=heads, qd=qd, pd=pd, vd=vd,
-        hna=hna, ksize=ksize)
+        hna=hna, ksize=ksize, streamed=streamed)
     specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),               # lens
         pl.BlockSpec((1, t_pad, d), lambda b: (b, 0, 0),
@@ -254,19 +324,38 @@ def _layer_pallas(x, lens, poslin, flat, heads, qd, pd, vd):
     proj_cols = heads * (2 * qd + pd)
     vcols = max(2 * hna, heads * vd, 2 * d)
     ff_cols = flat[14].shape[1] + flat[18].shape[1] + flat[22].shape[1]
-    return pl.pallas_call(
-        kernel,
-        grid=(bsz,),
-        in_specs=specs,
-        out_specs=pl.BlockSpec((1, t_pad, d), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz, t_pad, d), jnp.float32),
-        scratch_shapes=[
+    out_specs = pl.BlockSpec((1, t_pad, d), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((bsz, t_pad, d), jnp.float32)
+    if streamed:
+        scratch = [
+            pltpu.VMEM((t_pad, proj_cols), jnp.bfloat16),    # proj_s
+            pltpu.VMEM((2, t_pad, R), jnp.bfloat16),         # wvm2 ping-pong
+            pltpu.VMEM((t_pad, max(hna, heads * vd)), jnp.float32),  # o_s
+            pltpu.VMEM((t_pad, vcols), jnp.bfloat16),        # v_s
+            pltpu.VMEM((t_pad + 2 * halo, d), jnp.bfloat16),  # c_s
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        out_specs = (out_specs,
+                     pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((heads * t_pad, t_pad),
+                                          jnp.bfloat16))
+    else:
+        scratch = [
             pltpu.VMEM((t_pad, proj_cols), jnp.bfloat16),    # proj_s
             pltpu.VMEM((heads * t_pad, t_pad), jnp.bfloat16),  # w_s
             pltpu.VMEM((t_pad, vcols), jnp.bfloat16),        # v_s
             pltpu.VMEM((t_pad + 2 * halo, d), jnp.bfloat16),  # c_s
-        ],
+        ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(bsz,),
+        in_specs=specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * t_pad
             * (d * (proj_cols + 8 * heads * vd + 6 * hna + 6 * d
@@ -277,6 +366,7 @@ def _layer_pallas(x, lens, poslin, flat, heads, qd, pd, vd):
             transcendentals=bsz * heads * t_pad * t_pad,
         ),
     )(lens.astype(jnp.int32), x, poslin, *flat)
+    return out[0] if streamed else out
 
 
 def _flatten_layer_params(p):
@@ -340,7 +430,8 @@ def layer_kernel_vmem_bytes(t_pad, d, heads, ff_dims, ksize, cfg):
     return 2 * nweights + scratch + io + live
 
 
-def encoder_layer_pallas(p, x, pos_emb_rev_padded, lens, heads, cfg):
+def encoder_layer_pallas(p, x, pos_emb_rev_padded, lens, heads, cfg,
+                         streamed=False):
     """Whole-layer megakernel. Drop-in for encoder_layer on padded inputs.
 
     Args:
@@ -350,6 +441,9 @@ def encoder_layer_pallas(p, x, pos_emb_rev_padded, lens, heads, cfg):
             position table for T_pad (see zipformer._padded_rev_pos_emb).
         lens: [B] int32 valid frames.
         heads: head count; cfg: ZipformerConfig.
+        streamed: attention weights in an HBM scratch (one [T, R] column
+            block VMEM-resident at a time) instead of a [H*T, T] VMEM
+            scratch — for stacks whose weights tensor exceeds VMEM.
 
     Returns [B, T_pad, D] float32.
     """
@@ -359,4 +453,5 @@ def encoder_layer_pallas(p, x, pos_emb_rev_padded, lens, heads, cfg):
     poslin = poslin.reshape(-1, heads, pd).transpose(1, 0, 2)
     flat = _flatten_layer_params(p)
     return _layer_pallas(x, lens, poslin.astype(jnp.bfloat16), flat,
-                         heads, qd, pd, cfg.value_head_dim)
+                         heads, qd, pd, cfg.value_head_dim,
+                         streamed=streamed)

@@ -89,3 +89,35 @@ def test_encoder_layer_kernel_end_to_end(lens_list):
     for i, ln in enumerate(np.asarray(rl)):
         rel = np.abs(got[i, :ln] - ref[i, :ln]).mean() / scale
         assert rel < 0.02, (i, rel)
+
+
+def test_streamed_layer_kernel_matches_vmem_kernel():
+    """streamed=True (attention weights in an HBM scratch, one [T, R]
+    column block VMEM-resident at a time) must be BIT-identical to the
+    VMEM-resident kernel: same math, only the weights storage differs."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    import sherpa_vietnamese_asr_tpu.models.zipformer as Z
+    from sherpa_vietnamese_asr_tpu.ops.encoder_layer import (
+        encoder_layer_pallas,
+    )
+
+    cfg = _tiny_cfg()
+    params = Z.init_zipformer_params(jax.random.PRNGKey(1), cfg)
+    layer = params["stacks"][0]["layers"][1]
+    rng = np.random.default_rng(3)
+    t, tp, b = 300, 384, 2
+    lens = np.array([300, 143])
+    xp = np.zeros((b, tp, 64), np.float32)
+    xp[:, :t] = rng.standard_normal((b, t, 64)).astype(np.float32)
+    rev = jnp.asarray(Z._padded_rev_pos_emb(t, tp, cfg.pos_dim))
+    with pltpu.force_tpu_interpret_mode():
+        base = np.asarray(encoder_layer_pallas(
+            layer, jnp.asarray(xp), rev, jnp.asarray(lens, jnp.int32),
+            2, cfg))
+        got = np.asarray(encoder_layer_pallas(
+            layer, jnp.asarray(xp), rev, jnp.asarray(lens, jnp.int32),
+            2, cfg, streamed=True))
+    assert np.array_equal(base, got), np.abs(base - got).max()
