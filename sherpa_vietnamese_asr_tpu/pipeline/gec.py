@@ -227,9 +227,9 @@ class GecBert:
                 ids.extend(sub)
                 word_ids.extend([wi] * len(sub))
             # BERT position-embedding ceiling; also bounds the shape-bucket
-            # set to {64, 128, 256, 512} (see warm_shapes).
-            ids = ids[:512]
-            word_ids = word_ids[:512]
+            # set to powers of two <= max_position (see warm_shapes).
+            ids = ids[:self.cfg.max_position]
+            word_ids = word_ids[:self.cfg.max_position]
             offsets = [0] + [j for j in range(1, len(word_ids))
                              if word_ids[j] != word_ids[j - 1]]
             ids_rows.append(ids)
@@ -274,7 +274,11 @@ class GecBert:
         import jax.numpy as jnp
 
         mb = self.mini_batch_size
-        for t, w in ((64, 64), (128, 64), (256, 64), (512, 64), (128, 128)):
+        cap = self.cfg.max_position
+        shapes = [(t, 64) for t in (64, 128, 256, 512) if t <= cap]
+        if cap >= 128:
+            shapes.append((128, 128))
+        for t, w in shapes:
             _vibert_forward_jit(
                 self.params,
                 jnp.ones((mb, t), jnp.int32),

@@ -151,3 +151,23 @@ def test_align_sentences_with_speakers_split():
     assert segs[0]["speaker_id"] == 0 and segs[1]["speaker_id"] == 1
     assert segs[0]["text"].lower().startswith("mot")
     assert "ba" in segs[1]["text"]
+
+
+def test_gec_shape_buckets_bounded_and_warmable():
+    """preprocess buckets the minibatch dims to powers of two capped at 512
+    so warm_shapes() can pre-compile the complete shape set (the cold-start
+    contract: a warmed cache never compiles punctuation programs)."""
+    gec = _tiny_gec(chunk_size=16, overlap_size=6, min_words_cut=2,
+                    mini_batch_size=2)
+    seen = set()
+    for words in (["xin"] * 3, ["chao"] * 16, ["q" * 40] * 16,
+                  ["z" * 300] * 16):
+        inputs = gec.preprocess([words])
+        t = inputs["input_ids"].shape[1]
+        w = inputs["input_offsets"].shape[1]
+        seen.add((t, w))
+        assert t in (64, 128, 256, 512), t
+        assert w in (64, 128, 256, 512), w
+        assert inputs["input_ids"].shape[1] <= 512  # BERT position ceiling
+    assert len(seen) > 1  # buckets actually vary with content
+    gec.warm_shapes()  # compiles the full bucket set without error
