@@ -14,7 +14,12 @@ from sherpa_vietnamese_asr_tpu.models.zipformer import (
 mode = sys.argv[1] if len(sys.argv) > 1 else "bfloat16"
 lk = sys.argv[2] if len(sys.argv) > 2 else "auto"
 import dataclasses
-cfg = dataclasses.replace(ZIPFORMER_30M, compute_dtype=mode, layer_kernel=lk)
+import os
+base = ZIPFORMER_30M
+if os.environ.get("SVT_ENC_68M"):
+    from sherpa_vietnamese_asr_tpu.models.zipformer import ZIPFORMER_68M
+    base = ZIPFORMER_68M
+cfg = dataclasses.replace(base, compute_dtype=mode, layer_kernel=lk)
 params = init_zipformer_params(jax.random.PRNGKey(0), cfg)
 
 B, T = 8, 3300  # 33 s fbank frames
