@@ -225,7 +225,7 @@ def cmd_warmup(args):
     t0 = _t.time()
     model = _load_model(args)
     timings = warmup_programs(model, models_dir=args.models_dir,
-                              stages=stages)
+                              stages=stages, jobs=args.jobs)
     done = [k for k, v in timings.items() if v is not None]
     print(f"[warmup] compiled {len(done)}/{len(timings)} stages "
           f"({', '.join(done)}) in {_t.time() - t0:.0f}s; programs are in "
@@ -409,8 +409,12 @@ def main(argv=None):
                    help="warm with random weights when no checkpoints "
                         "exist (program shapes are weight-independent)")
     w.add_argument("--stages", default=None,
-                   help="comma-separated subset of: decode,streaming,"
+                   help="comma-separated subset of: decode,vad,streaming,"
                         "diarization,punctuation,quality,senko")
+    w.add_argument("--jobs", type=int, default=4,
+                   help="stages compiled concurrently (the compile "
+                        "service accepts parallel requests; 4 halves a "
+                        "cleared-cache warmup). 1 = sequential")
     w.set_defaults(fn=cmd_warmup)
 
     va = sub.add_parser(
