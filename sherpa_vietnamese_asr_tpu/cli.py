@@ -167,9 +167,12 @@ def cmd_serve(args):
             models[name] = _load_model(ns)
         return models[name]
 
+    # --http forces plain HTTP; otherwise the persisted server config
+    # decides (http_mode, reference default: HTTPS with a self-signed cert)
     server, _state = make_server(host=args.host, port=args.port,
                                  data_dir=args.data_dir,
-                                 model_provider=model_provider)
+                                 model_provider=model_provider,
+                                 use_tls=False if args.http else None)
     if args.warmup:
         # Compile the hot programs before accepting work (first-request
         # latency drops from minutes to milliseconds). Same shapes the
@@ -188,7 +191,8 @@ def cmd_serve(args):
                         log=lambda m: print(f"[serve] {m}"),
                         streamer=_state.get_streamer())
         print(f"[serve] warmup done in {_t.time() - t0:.0f}s")
-    print(f"[serve] listening on http://{args.host}:"
+    scheme = "https" if getattr(_state, "tls_active", False) else "http"
+    print(f"[serve] listening on {scheme}://{args.host}:"
           f"{server.server_address[1]}")
     try:
         server.serve_forever()
@@ -384,6 +388,9 @@ def main(argv=None):
     s.add_argument("--warmup", action="store_true",
                    help="compile decode + streaming programs before "
                         "accepting requests")
+    s.add_argument("--http", action="store_true",
+                   help="plain HTTP (default: TLS with a self-signed cert "
+                        "unless server config sets http_mode=1)")
     s.add_argument("--models-dir", default=None)
     s.add_argument("--allow-random", action="store_true",
                    help="permit RANDOM-weight models (garbage output; "

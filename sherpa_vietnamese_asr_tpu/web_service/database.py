@@ -208,6 +208,34 @@ class Database:
             "SELECT * FROM files WHERE user_id = ? ORDER BY id DESC",
             (user_id,), fetch="all")
 
+    def get_latest_file_for_session(self, session_id):
+        """Newest file of a session with a has_result flag (reference
+        session_manager.get_session_status's latest_file block)."""
+        return self._exec(
+            "SELECT *, (asr_result_json IS NOT NULL) AS has_result "
+            "FROM files WHERE session_id = ? ORDER BY id DESC LIMIT 1",
+            (session_id,), fetch="one")
+
+    def delete_session_files(self, session_id):
+        """Delete all file rows of a session; returns their stored
+        filenames so the caller can remove the uploads (the reference keeps
+        one file per anonymous session, server.py:866-875)."""
+        rows = self._exec(
+            "SELECT stored_filename FROM files WHERE session_id = ? AND "
+            "user_id IS NULL", (session_id,), fetch="all")
+        self._exec("DELETE FROM files WHERE session_id = ? AND "
+                   "user_id IS NULL", (session_id,))
+        return [r["stored_filename"] for r in rows]
+
+    def update_user_storage(self, user_id):
+        """Recompute storage_used_bytes from the user's file rows."""
+        row = self._exec(
+            "SELECT COALESCE(SUM(file_size_bytes), 0) AS used FROM files "
+            "WHERE user_id = ?", (user_id,), fetch="one")
+        self._exec("UPDATE users SET storage_used_bytes = ? WHERE id = ?",
+                   (int(row["used"]), user_id))
+        return int(row["used"])
+
     def update_file(self, file_id, **kw):
         if not kw:
             return
@@ -250,6 +278,28 @@ class Database:
             "SELECT * FROM queue WHERE status IN ('waiting', 'processing') "
             "ORDER BY priority", fetch="all")
 
+    def get_queue_total_waiting(self):
+        row = self._exec(
+            "SELECT COUNT(*) AS n FROM queue WHERE status = 'waiting'",
+            fetch="one")
+        return int(row["n"])
+
+    def get_all_queue(self):
+        return self._exec(
+            "SELECT q.*, f.original_filename FROM queue q "
+            "LEFT JOIN files f ON f.id = q.file_id ORDER BY q.priority",
+            fetch="all")
+
+    def get_queue_status_for_session(self, session_id):
+        """Most recent active queue item of a session, with the filename
+        (reference session_manager.get_session_status's queue_item block)."""
+        return self._exec(
+            "SELECT q.*, f.original_filename FROM queue q "
+            "LEFT JOIN files f ON f.id = q.file_id "
+            "WHERE q.session_id = ? AND q.status IN ('waiting', "
+            "'processing') ORDER BY q.priority LIMIT 1",
+            (session_id,), fetch="one")
+
     def update_queue_progress(self, file_id, percent, message):
         self._exec(
             "UPDATE queue SET progress_percent = ?, progress_message = ? "
@@ -280,6 +330,10 @@ class Database:
     def get_meeting(self, meeting_id):
         return self._exec("SELECT * FROM meetings WHERE id = ?",
                           (meeting_id,), fetch="one")
+
+    def get_meeting_by_file_id(self, file_id):
+        return self._exec("SELECT * FROM meetings WHERE file_id = ?",
+                          (file_id,), fetch="one")
 
     def get_user_meetings(self, user_id):
         return self._exec(

@@ -144,14 +144,14 @@ def test_auth_and_admin_flow(service):
     status, stats = _req(base, "/api/admin/stats", headers=tok)
     assert status == 200 and "files" in stats["stats"]
     status, _ = _req(base, "/api/admin/users", "POST", headers=tok,
-                     body={"username": "alice", "password": "secret1"})
+                     body={"username": "alice", "password": "secret123"})
     assert status == 200
     status, users = _req(base, "/api/admin/users", headers=tok)
     assert any(u["username"] == "alice" for u in users["users"])
 
     # non-admin cannot reach admin endpoints
     status, alogin = _req(base, "/api/auth/login", "POST",
-                          body={"username": "alice", "password": "secret1"})
+                          body={"username": "alice", "password": "secret123"})
     atok = {"Authorization": f"Bearer {alogin['token']}"}
     status, _ = _req(base, "/api/admin/stats", headers=atok)
     assert status == 403
@@ -349,19 +349,25 @@ def test_queue_position_pushed_to_second_client(service):
             payload += sock.recv(ln - len(payload))
         return json.loads(payload.decode())
 
-    # pause the queue, enqueue two files -> both adds broadcast positions
+    # pause the queue, enqueue two files from two sessions (an anonymous
+    # session keeps ONE file: a second upload replaces the first, reference
+    # server.py:866-875) -> both adds broadcast positions
+    _, s2 = _req(base, "/api/session", "POST")
+    H2 = {"X-Session-Id": s2["session_id"]}
     state.queue.pause()
     try:
         fids = []
-        for name in ("q1.wav", "q2.wav"):
+        heads = []
+        for name, hdr in (("q1.wav", H), ("q2.wav", H2)):
             with tempfile.NamedTemporaryFile(suffix=".wav") as f:
                 write_wav(f.name, np.zeros(8000, np.float32))
                 wav = open(f.name, "rb").read()
             _, up = _req(base, "/api/upload", "POST",
-                         headers={**H, "X-Filename": name}, raw=wav)
+                         headers={**hdr, "X-Filename": name}, raw=wav)
             fids.append(up["file_id"])
+            heads.append(hdr)
             status, pr = _req(base, f"/api/process/{fids[-1]}", "POST",
-                              body={}, headers=H)
+                              body={}, headers=hdr)
             assert status == 200
         assert pr["queue_position"] == 2  # second upload is behind the first
 
@@ -390,9 +396,9 @@ def test_queue_position_pushed_to_second_client(service):
     sock.close()
 
     # drain: wait for both to finish so later tests see an idle queue
-    for fid in fids:
+    for fid, hdr in zip(fids, heads):
         for _ in range(200):
-            _, st = _req(base, f"/api/files/{fid}/status", headers=H)
-            if st["status"] in ("completed", "error"):
+            _, st = _req(base, f"/api/files/{fid}/status", headers=hdr)
+            if st.get("status") in ("completed", "error"):
                 break
             time.sleep(0.05)
