@@ -20,6 +20,7 @@
 from __future__ import annotations
 
 import functools
+import os
 import re
 
 from difflib import SequenceMatcher
@@ -49,6 +50,40 @@ DEFAULT_LABELS = [
     UNK, PAD,
 ]
 DEFAULT_D_TAGS = ["CORRECT", "INCORRECT", UNK, PAD]
+
+
+def load_gec_vocabulary(directory):
+    """Load label namespaces from an AllenNLP-style vocabulary directory
+    (reference core/vocabulary.py:117-232 + vocabulary/): each *.txt is a
+    namespace, one token per line, '@@NEWLINE@@' unescaped; namespaces
+    matching non_padded_namespaces.txt patterns ('*tags'/'*labels') are
+    0-indexed as-is, padded namespaces get '@@PADDING@@' prepended at 0.
+
+    Returns {namespace: [tokens...]} — pass result['labels'] /
+    result['d_tags'] to GecBert for checkpoint-specific label sets.
+    """
+    pad_file = os.path.join(directory, "non_padded_namespaces.txt")
+    patterns = []
+    if os.path.exists(pad_file):
+        with open(pad_file, encoding="utf-8") as f:
+            patterns = [ln.strip() for ln in f if ln.strip()]
+
+    def non_padded(ns):
+        return any((p[0] == "*" and ns.endswith(p[1:])) or p == ns
+                   for p in patterns)
+
+    out = {}
+    for fname in sorted(os.listdir(directory)):
+        if not fname.endswith(".txt") or fname == "non_padded_namespaces.txt":
+            continue
+        ns = fname[:-4]
+        with open(os.path.join(directory, fname), encoding="utf-8") as f:
+            lines = f.read().split("\n")
+        if lines and lines[-1] == "":
+            lines = lines[:-1]
+        tokens = [ln.replace("@@NEWLINE@@", "\n") for ln in lines]
+        out[ns] = tokens if non_padded(ns) else [PAD] + tokens
+    return out
 
 
 def convert_using_case(token, action):

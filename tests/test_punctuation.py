@@ -171,3 +171,32 @@ def test_gec_shape_buckets_bounded_and_warmable():
         assert inputs["input_ids"].shape[1] <= 512  # BERT position ceiling
     assert len(seen) > 1  # buckets actually vary with content
     gec.warm_shapes()  # compiles the full bucket set without error
+
+
+def test_load_gec_vocabulary_matches_reference_format(tmp_path):
+    """The AllenNLP vocabulary-directory loader reproduces the in-tree
+    default label sets from files laid out exactly like the reference's
+    vocabulary/ (non-padded *labels/*tags namespaces are 0-indexed as-is;
+    padded namespaces get @@PADDING@@ prepended; @@NEWLINE@@ unescaped)."""
+    from sherpa_vietnamese_asr_tpu.pipeline.gec import (
+        DEFAULT_D_TAGS,
+        DEFAULT_LABELS,
+        load_gec_vocabulary,
+    )
+
+    vocdir = tmp_path / "vocabulary"
+    vocdir.mkdir()
+    (vocdir / "non_padded_namespaces.txt").write_text("*tags\n*labels\n")
+    (vocdir / "labels.txt").write_text("\n".join(DEFAULT_LABELS) + "\n")
+    (vocdir / "d_tags.txt").write_text("\n".join(DEFAULT_D_TAGS) + "\n")
+    (vocdir / "tokens.txt").write_text("a\n@@NEWLINE@@\nb\n")
+
+    ns = load_gec_vocabulary(str(vocdir))
+    assert ns["labels"] == DEFAULT_LABELS
+    assert ns["d_tags"] == DEFAULT_D_TAGS
+    # 'tokens' is a padded namespace: padding token injected at index 0
+    assert ns["tokens"] == ["@@PADDING@@", "a", "\n", "b"]
+
+    # the loaded sets drive GecBert directly
+    gec_labels = ns["labels"]
+    assert gec_labels.index("$KEEP") == 0
