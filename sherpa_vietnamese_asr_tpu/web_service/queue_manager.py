@@ -32,6 +32,56 @@ def slider_to_confidences(punct_slider, case_slider):
     return punct_conf, case_conf, punct_slider <= 1
 
 
+def convert_to_wav(input_path, output_path, progress_callback=None,
+                   timeout=600):
+    """Pre-convert any container to 16 kHz mono PCM WAV via ffmpeg with
+    realtime percent progress parsed from `-progress pipe:1` out_time_us
+    lines (reference queue_manager.py:84-158). Returns the output path, or
+    None when ffmpeg is unavailable (the WAV fast path / gated decode in
+    utils/audio_io.py then handles the original file)."""
+    import shutil
+    import subprocess
+
+    ffmpeg = shutil.which("ffmpeg")
+    if ffmpeg is None:
+        return None
+    total_us = 0
+    ffprobe = shutil.which("ffprobe")
+    if ffprobe is not None:
+        try:
+            out = subprocess.run(
+                [ffprobe, "-v", "error", "-show_entries", "format=duration",
+                 "-of", "csv=p=0", input_path],
+                capture_output=True, text=True, timeout=60)
+            total_us = int(float(out.stdout.strip()) * 1_000_000)
+        except (ValueError, subprocess.SubprocessError):
+            pass
+    cmd = [ffmpeg, "-hide_banner", "-nostdin", "-loglevel", "error", "-y",
+           "-i", input_path, "-vn", "-ar", "16000", "-ac", "1",
+           "-acodec", "pcm_s16le", "-progress", "pipe:1", output_path]
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE)
+    last_pct = -1
+    assert proc.stdout is not None
+    for raw in proc.stdout:
+        line = raw.decode("utf-8", errors="replace").strip()
+        if line.startswith("out_time_us=") and total_us > 0 \
+                and progress_callback:
+            try:
+                pct = min(99, int(line.split("=")[1]) * 100 // total_us)
+            except ValueError:
+                continue
+            if pct > last_pct:
+                last_pct = pct
+                progress_callback(
+                    f"PHASE:Convert|Converting audio|{pct}")
+    _, stderr = proc.communicate(timeout=timeout)
+    if proc.returncode != 0:
+        raise RuntimeError("ffmpeg convert failed: "
+                           f"{stderr.decode(errors='replace')[-400:]}")
+    return output_path
+
+
 class QueueManager:
     """One job at a time; jobs run in a worker thread.
 
@@ -181,6 +231,19 @@ class QueueManager:
 
             def cancel_check():
                 return file_id in self._cancel_requested
+
+            # Pre-convert non-WAV uploads to 16 kHz mono WAV (reference
+            # queue_manager.py:84-158): pipeline reads the fast WAV path
+            # and /api/files/{id}/audio serves the converted copy.
+            if not path.lower().endswith(".wav"):
+                wav_path = path.rsplit(".", 1)[0] + ".wav"
+                try:
+                    converted = wav_path if os.path.exists(wav_path) else \
+                        convert_to_wav(path, wav_path, progress_callback)
+                    if converted:
+                        path = converted
+                except RuntimeError as e:
+                    logger.warning("convert failed, using original: %s", e)
 
             model_name = config.get("model", self.default_model)
             model = self.model_provider(model_name)

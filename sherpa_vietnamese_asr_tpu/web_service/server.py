@@ -140,6 +140,21 @@ def sanitize_asr_json(data: dict) -> dict:
     return cleaned
 
 
+def delete_upload_artifacts(upload_dir, stored_filename):
+    """Remove an upload and any converted .wav sibling (reference
+    delete_upload_artifacts); returns how many files were removed."""
+    removed = 0
+    path = os.path.join(upload_dir, stored_filename)
+    candidates = {path}
+    if "." in stored_filename:
+        candidates.add(path.rsplit(".", 1)[0] + ".wav")
+    for p in candidates:
+        if os.path.exists(p):
+            os.remove(p)
+            removed += 1
+    return removed
+
+
 def _safe_audio_filename(original_filename):
     """Sanitized download filename (reference server.py:1230-1236)."""
     import html as _html
@@ -610,9 +625,7 @@ class Handler(BaseHTTPRequestHandler):
         # Anonymous sessions keep ONE file: drop previous uploads first.
         if not user and sid:
             for old in self.state.db.delete_session_files(sid):
-                old_path = os.path.join(self.state.upload_dir, old)
-                if os.path.exists(old_path):
-                    os.remove(old_path)
+                delete_upload_artifacts(self.state.upload_dir, old)
         stored = f"{uuid.uuid4().hex}_{filename}"
         dest = os.path.join(self.state.upload_dir, stored)
         remaining = length
@@ -845,11 +858,12 @@ class Handler(BaseHTTPRequestHandler):
         file_id = int(file_id)
         rec = self.state.db.get_file(file_id)
         self._check_file_access(rec)
-        path = os.path.join(self.state.upload_dir, rec["stored_filename"])
-        if os.path.exists(path):
-            os.remove(path)
+        delete_upload_artifacts(self.state.upload_dir,
+                                rec["stored_filename"])
         self.state.db.delete_file(file_id)
         self.state.db.remove_from_queue(file_id)
+        if rec.get("user_id"):
+            self.state.db.update_user_storage(rec["user_id"])
         self._send_json({"ok": True})
 
     def ep_meetings(self):

@@ -521,3 +521,45 @@ def test_sanitize_asr_json_unit():
 
     with pytest.raises(ApiError):
         sanitize_asr_json({"segments": "not a list"})
+
+
+def test_convert_to_wav_and_artifact_cleanup(service, tmp_path,
+                                             monkeypatch):
+    """Non-WAV uploads are pre-converted via ffmpeg when present (gated:
+    returns None without ffmpeg), and file deletion removes the converted
+    .wav sibling along with the original."""
+    import os
+    import shutil as _shutil
+
+    from sherpa_vietnamese_asr_tpu.web_service.queue_manager import (
+        convert_to_wav,
+    )
+    from sherpa_vietnamese_asr_tpu.web_service.server import (
+        delete_upload_artifacts,
+    )
+
+    src = tmp_path / "x.mp3"
+    src.write_bytes(b"not really audio")
+    if _shutil.which("ffmpeg") is None:
+        assert convert_to_wav(str(src), str(tmp_path / "x.wav")) is None
+    else:
+        with pytest.raises(RuntimeError):  # garbage input -> ffmpeg error
+            convert_to_wav(str(src), str(tmp_path / "x.wav"))
+
+    # artifact cleanup removes original + converted sibling
+    up = tmp_path / "uploads"
+    up.mkdir()
+    (up / "abc_y.mp3").write_bytes(b"a")
+    (up / "abc_y.wav").write_bytes(b"b")
+    assert delete_upload_artifacts(str(up), "abc_y.mp3") == 2
+    assert not os.listdir(up)
+
+    # delete endpoint uses it end-to-end
+    base, state = service
+    H = _session(base)
+    fid = _upload_wav(base, H, name="todelete.wav")
+    stored = state.db.get_file(fid)["stored_filename"]
+    assert os.path.exists(os.path.join(state.upload_dir, stored))
+    status, _ = _req(base, f"/api/user/files/{fid}", "DELETE", headers=H)
+    assert status == 200
+    assert not os.path.exists(os.path.join(state.upload_dir, stored))
