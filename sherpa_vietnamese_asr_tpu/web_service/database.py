@@ -179,6 +179,19 @@ class Database:
         return self._exec("SELECT * FROM sessions WHERE expired_at IS NULL",
                           fetch="all")
 
+    def get_active_session_count(self):
+        row = self._exec(
+            "SELECT COUNT(*) AS n FROM sessions WHERE expired_at IS NULL",
+            fetch="one")
+        return int(row["n"])
+
+    def get_oldest_idle_anonymous_session(self):
+        """Least-recently-heartbeating live anonymous session (eviction
+        candidate when max_sessions is reached)."""
+        return self._exec(
+            "SELECT * FROM sessions WHERE is_anonymous = 1 AND expired_at "
+            "IS NULL ORDER BY last_heartbeat LIMIT 1", fetch="one")
+
     def get_expired_anonymous_sessions(self, timeout_minutes):
         return self._exec(
             "SELECT * FROM sessions WHERE is_anonymous = 1 AND expired_at "

@@ -532,11 +532,30 @@ class Handler(BaseHTTPRequestHandler):
         })
 
     def ep_create_session(self):
+        """Create (or return) a session. Mirrors reference
+        server.py:651-696: an existing valid session is reused; at the
+        max_sessions cap the longest-idle disconnected anonymous session is
+        evicted, else 503."""
+        existing = self.state.db.get_session(self._session_id())
+        if existing:
+            self._send_json({"session_id": existing["id"],
+                             "is_anonymous": bool(
+                                 existing.get("is_anonymous", 1)),
+                             "user_id": existing.get("user_id")})
+            return
+        max_sessions = self.state.config.get_int("max_sessions")
+        if self.state.db.get_active_session_count() >= max_sessions:
+            oldest = self.state.db.get_oldest_idle_anonymous_session()
+            if oldest and not self.state.ws_connected(oldest["id"]):
+                self.state.kill_session(oldest["id"])
+            else:
+                raise ApiError(503, "Server full; try again later")
         sid = uuid.uuid4().hex
         self.state.db.create_session(
             sid, ip_address=self._client_ip(),
             user_agent=self.headers.get("User-Agent", ""))
-        self._send_json({"session_id": sid})
+        self._send_json({"session_id": sid, "is_anonymous": True,
+                         "user_id": None})
 
     def ep_get_session(self):
         sess = self.state.db.get_session(self._session_id())

@@ -563,3 +563,36 @@ def test_convert_to_wav_and_artifact_cleanup(service, tmp_path,
     status, _ = _req(base, f"/api/user/files/{fid}", "DELETE", headers=H)
     assert status == 200
     assert not os.path.exists(os.path.join(state.upload_dir, stored))
+
+
+def test_session_reuse_and_max_sessions_eviction(service):
+    """POST /api/session returns the existing session when the header names
+    a live one; at the max_sessions cap the longest-idle disconnected
+    anonymous session is evicted, and 503 when nothing is evictable
+    (reference server.py:651-696)."""
+    base, state = service
+    _, s = _req(base, "/api/session", "POST")
+    # reuse: same id comes back
+    _, again = _req(base, "/api/session", "POST",
+                    headers={"X-Session-Id": s["session_id"]})
+    assert again["session_id"] == s["session_id"]
+
+    state.config.set("max_sessions", state.db.get_active_session_count())
+    try:
+        # cap reached -> oldest idle anonymous session is evicted
+        status, s2 = _req(base, "/api/session", "POST")
+        assert status == 200
+        # cap reached and NO evictable session (all killed but this one
+        # is... make every anonymous session "connected")
+        with state._ws_lock:
+            saved = list(state._ws_clients)
+            state._ws_clients = [
+                (row["id"], None) for row in state.db.get_all_sessions()]
+        try:
+            status, r = _req(base, "/api/session", "POST")
+            assert status == 503
+        finally:
+            with state._ws_lock:
+                state._ws_clients = saved
+    finally:
+        state.config.set("max_sessions", 100)
