@@ -299,6 +299,11 @@ class AppState:
         with self._ws_lock:
             self._ws_clients.append((session_id, sock))
 
+    def remove_ws_client(self, sock):
+        with self._ws_lock:
+            self._ws_clients = [c for c in self._ws_clients
+                                if c[1] is not sock]
+
     def _push_event(self, event):
         data = json.dumps(event, ensure_ascii=False).encode()
         frame = _ws_frame(data)
@@ -1435,43 +1440,83 @@ class Handler(BaseHTTPRequestHandler):
                              self._calibration_profile()})
 
     # -- websocket ---------------------------------------------------------------
+    def _ws_session_id(self):
+        """Session id from the X-Session-Id header or ?session_id= query
+        (the reference accepts query/cookie, server.py:2180-2186)."""
+        sid = self._session_id()
+        if not sid and "?" in self.path:
+            from urllib.parse import parse_qs, urlparse
+
+            q = parse_qs(urlparse(self.path).query)
+            sid = (q.get("session_id") or [""])[0]
+        return sid
+
     def ep_websocket(self):
-        key = self.headers.get("Sec-WebSocket-Key")
-        if not key or self.headers.get("Upgrade", "").lower() != "websocket":
-            raise ApiError(400, "WebSocket upgrade required")
-        accept = base64.b64encode(hashlib.sha1(
-            (key + _WS_MAGIC).encode()).digest()).decode()
-        self.send_response(101, "Switching Protocols")
-        self.send_header("Upgrade", "websocket")
-        self.send_header("Connection", "Upgrade")
-        self.send_header("Sec-WebSocket-Accept", accept)
-        self.end_headers()
-        self.close_connection = True
-        self.state.add_ws_client(self._session_id(), self.connection)
-        # Keep the socket open; events are pushed by AppState._push_event.
-        # Read (and discard) client frames until close.
+        """Progress push + client messages: 'heartbeat' -> heartbeat_ack
+        (+ DB heartbeat), 'subscribe_queue' -> immediate queue_position
+        (position -1 on invalid/denied file). Invalid sessions are closed
+        with code 4001 (reference server.py:2178-2251)."""
+        self._ws_handshake()
+        sock = self.connection
+        sock.settimeout(300)
+        sid = self._ws_session_id()
+        session = self.state.db.get_session(sid) if sid else None
+        if not session:
+            sock.sendall(_ws_frame(
+                struct.pack(">H", 4001) + b"Invalid session", opcode=0x8))
+            return
+        self.state.add_ws_client(sid, sock)
         try:
-            sock = self.connection
-            sock.settimeout(300)
             while True:
-                head = sock.recv(2)
-                if len(head) < 2:
+                opcode, payload = self._ws_read_frame(sock)
+                if opcode is None or opcode == 0x8:    # EOF / close
                     break
-                opcode = head[0] & 0x0F
-                ln = head[1] & 0x7F
-                masked = head[1] & 0x80
-                if ln == 126:
-                    ln = struct.unpack(">H", sock.recv(2))[0]
-                elif ln == 127:
-                    ln = struct.unpack(">Q", sock.recv(8))[0]
-                mask = sock.recv(4) if masked else b"\0" * 4
-                _payload = sock.recv(ln) if ln else b""
-                if opcode == 0x8:  # close
-                    break
-                if opcode == 0x9:  # ping -> pong
-                    sock.sendall(_ws_frame(b"", opcode=0xA))
+                if opcode == 0x9:                       # ping -> pong
+                    sock.sendall(_ws_frame(payload, opcode=0xA))
+                    continue
+                if opcode != 0x1:                       # only text msgs
+                    continue
+                try:
+                    data = json.loads(payload.decode("utf-8"))
+                except (ValueError, UnicodeDecodeError):
+                    continue
+                msg_type = data.get("type", "")
+                if msg_type == "heartbeat":
+                    self.state.db.update_heartbeat(sid)
+                    sock.sendall(_ws_frame(json.dumps(
+                        {"type": "heartbeat_ack"}).encode()))
+                elif msg_type == "subscribe_queue":
+                    sock.sendall(_ws_frame(json.dumps(
+                        self._queue_position_msg(session, sid,
+                                                 data.get("file_id"))
+                    ).encode()))
         except OSError:
             pass
+        finally:
+            self.state.remove_ws_client(sock)
+
+    def _queue_position_msg(self, session, sid, file_id):
+        denied = {"type": "queue_position", "file_id": file_id,
+                  "position": -1, "total": 0}
+        try:
+            file_id = int(file_id)
+        except (TypeError, ValueError):
+            return denied
+        denied["file_id"] = file_id
+        rec = self.state.db.get_file(file_id)
+        if rec is None:
+            return denied
+        user = None
+        if session.get("user_id"):
+            user = self.state.db.get_user_by_id(int(session["user_id"]))
+        allowed = (rec.get("session_id") == sid) or (
+            user and (user["id"] == rec.get("user_id")
+                      or user.get("role") == "admin"))
+        if not allowed:
+            return denied
+        return {"type": "queue_position", "file_id": file_id,
+                "position": self.state.db.get_queue_position(file_id),
+                "total": self.state.db.get_queue_total_waiting()}
 
 
     def _ws_handshake(self):

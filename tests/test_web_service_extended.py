@@ -596,3 +596,96 @@ def test_session_reuse_and_max_sessions_eviction(service):
                 state._ws_clients = saved
     finally:
         state.config.set("max_sessions", 100)
+
+
+def _ws_connect(base, sid):
+    import base64
+    import socket
+
+    host, port = base.replace("http://", "").split(":")
+    sock = socket.create_connection((host, int(port)), timeout=30)
+    key = base64.b64encode(b"0123456789abcdef").decode()
+    sock.sendall((f"GET /ws HTTP/1.1\r\nHost: {host}\r\n"
+                  "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                  f"Sec-WebSocket-Key: {key}\r\n"
+                  f"X-Session-Id: {sid}\r\n"
+                  "Sec-WebSocket-Version: 13\r\n\r\n").encode())
+    buf = b""
+    while b"\r\n\r\n" not in buf:   # byte-wise: don't swallow frames
+        buf += sock.recv(1)
+    assert b"101" in buf.split(b"\r\n", 1)[0]
+    return sock
+
+
+def _ws_send_text(sock, obj):
+    payload = json.dumps(obj).encode()
+    head = bytes([0x81])
+    assert len(payload) < 126
+    sock.sendall(head + bytes([len(payload)]) + payload)
+
+
+def _ws_recv(sock, timeout=10.0):
+    import struct
+
+    sock.settimeout(timeout)
+    head = sock.recv(2)
+    if len(head) < 2:
+        return None, None
+    opcode = head[0] & 0x0F
+    ln = head[1] & 0x7F
+    if ln == 126:
+        ln = struct.unpack(">H", sock.recv(2))[0]
+    payload = b""
+    while len(payload) < ln:
+        payload += sock.recv(ln - len(payload))
+    return opcode, payload
+
+
+def test_ws_session_validation_and_messages(service):
+    """/ws closes invalid sessions with 4001; 'heartbeat' gets
+    heartbeat_ack; 'subscribe_queue' answers an immediate queue_position,
+    -1 for files the session may not access."""
+    import struct
+
+    base, state = service
+    # invalid session -> close frame, code 4001
+    sock = _ws_connect(base, "not-a-session")
+    opcode, payload = _ws_recv(sock)
+    assert opcode == 0x8
+    assert struct.unpack(">H", payload[:2])[0] == 4001
+    sock.close()
+
+    H = _session(base)
+    sid = H["X-Session-Id"]
+    fid = _upload_wav(base, H)
+    other = _session(base)
+    other_fid = _upload_wav(base, other, name="other.wav")
+
+    sock = _ws_connect(base, sid)
+    _ws_send_text(sock, {"type": "heartbeat"})
+    opcode, payload = _ws_recv(sock)
+    assert json.loads(payload) == {"type": "heartbeat_ack"}
+
+    _ws_send_text(sock, {"type": "subscribe_queue", "file_id": fid})
+    _, payload = _ws_recv(sock)
+    msg = json.loads(payload)
+    assert msg["type"] == "queue_position" and msg["file_id"] == fid
+    assert msg["position"] >= 0
+
+    # someone else's file -> position -1
+    _ws_send_text(sock, {"type": "subscribe_queue", "file_id": other_fid})
+    _, payload = _ws_recv(sock)
+    assert json.loads(payload)["position"] == -1
+
+    # bogus id -> -1 too
+    _ws_send_text(sock, {"type": "subscribe_queue", "file_id": "zzz"})
+    _, payload = _ws_recv(sock)
+    assert json.loads(payload)["position"] == -1
+
+    assert state.ws_connected(sid)
+    sock.close()
+    for _ in range(100):
+        if not state.ws_connected(sid):
+            break
+        time.sleep(0.05)
+    assert not state.ws_connected(sid)  # unregistered on disconnect
