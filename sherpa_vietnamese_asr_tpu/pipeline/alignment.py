@@ -11,11 +11,17 @@
 from __future__ import annotations
 
 import re
+from functools import lru_cache
+
+_NON_WORD_RE = re.compile(r"[^\w\s]", re.UNICODE)
 
 
+@lru_cache(maxsize=65536)
 def normalize_align_word(word: str) -> str:
+    # Memoized: the aligners normalize the same ASR words O(sentences) times
+    # during the forward fuzzy match, and transcript vocabulary repeats.
     word = word.lower().strip()
-    word = re.sub(r"[^\w\s]", "", word, flags=re.UNICODE)
+    word = _NON_WORD_RE.sub("", word)
     return word.replace(" ", "")
 
 
