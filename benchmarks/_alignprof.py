@@ -15,11 +15,11 @@ t = 0.0
 for i in range(n):
     w = random.choice(WORDS)
     dur = random.uniform(0.15, 0.4)
-    all_words.append({"word": w, "start": t, "end": t + dur,
+    all_words.append({"text": w, "start": t, "end": t + dur,
                       "prob": random.uniform(0.5, 1.0)})
     t += dur + (random.uniform(0.3, 1.2) if random.random() < 0.08
                 else random.uniform(0.0, 0.12))
-full_text = " ".join(w["word"] for w in all_words)
+full_text = " ".join(w["text"] for w in all_words)
 word_speaker = [i % 7 // 4 for i in range(n)]  # 2 speakers, runs of words
 
 from sherpa_vietnamese_asr_tpu.pipeline.alignment import (
