@@ -45,12 +45,16 @@ def shard_model(model, mesh: Mesh):
 
 
 def decode_batch_sharded(model, audio, lens, mesh: Mesh,
-                         use_pallas_fbank: bool = False):
+                         use_pallas_fbank: bool = False,
+                         use_pallas_beam: bool = False,
+                         pallas_interpret: bool = False):
     """Decode a [B, L] chunk batch data-parallel over the mesh.
 
     B must be a multiple of the mesh size. Inputs are sharded over the batch
     axis; XLA partitions the whole fbank/encoder/beam-search program and
-    inserts ICI collectives only for the (replicated-param) broadcast.
+    inserts ICI collectives only for the (replicated-param) broadcast. With
+    use_pallas_beam the beam megakernel runs per-shard under shard_map
+    (pallas_interpret=True exercises it on CPU meshes).
     Returns (BeamResult, enc_lens) with batch-sharded outputs.
     """
     from sherpa_vietnamese_asr_tpu.pipeline.decoder import decode_batch_jit
@@ -65,7 +69,9 @@ def decode_batch_sharded(model, audio, lens, mesh: Mesh,
         model.zip_cfg, model.rnnt_cfg, model.beam_size,
         hw_tables=model.hotword_tables,
         with_hotwords=model.hotword_tables is not None,
-        use_pallas_fbank=use_pallas_fbank)
+        use_pallas_fbank=use_pallas_fbank,
+        use_pallas_beam=use_pallas_beam, mesh=mesh if use_pallas_beam else None,
+        pallas_interpret=pallas_interpret)
 
 
 def vad_probs_sharded(params, audio_windows, mesh: Mesh):

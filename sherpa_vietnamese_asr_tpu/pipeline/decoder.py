@@ -46,48 +46,81 @@ def fbank_batch_jit(audio, use_pallas_fbank=False, quantized=False):
 @functools.partial(
     jax.jit,
     static_argnames=("zip_cfg", "rnnt_cfg", "beam_size", "with_hotwords",
-                     "use_pallas_beam"),
+                     "use_pallas_beam", "mesh", "pallas_interpret"),
 )
 def decode_feats_jit(feats, n_frames, enc_params, dec_params, joi_params,
                      zip_cfg, rnnt_cfg, beam_size, hw_tables=None,
-                     with_hotwords=False, use_pallas_beam=False):
-    """[B, F, 80] fbank -> (BeamResult, enc_lens)."""
+                     with_hotwords=False, use_pallas_beam=False,
+                     mesh=None, pallas_interpret=False):
+    """[B, F, 80] fbank -> (BeamResult, enc_lens).
+
+    With a mesh the whole program is batch-sharded over its "data" axis:
+    the encoder partitions automatically from the input shardings and the
+    Pallas beam megakernel runs per-shard under jax.shard_map (each device
+    executes the kernel on its local chunk sub-batch — round 4; before,
+    any mesh silently forfeited the kernel for the slower XLA scan).
+    """
     enc_out, enc_lens = zipformer_encoder(enc_params, feats, n_frames, zip_cfg)
+    n_shards = 1 if mesh is None else mesh.devices.size
     # VMEM ceiling: after the round-3 streamed-records refactor only the
     # [B, beam, T] token array stays VMEM-resident (in-kernel dedup needs
     # exact sequence compares); at beam 8 that is 32*B*T bytes against the
     # 16 MB scoped-VMEM budget. Measured on v5e at T=824: batch 48 compiles
     # and runs, batch 64 OOMs the scoped stack by 4.9 MB — gate at the
     # measured 48*824 product and fall back to the XLA scan above it.
+    # Under a mesh the kernel sees the per-device LOCAL batch, so the gate
+    # scales with the mesh: 8 devices decode 8x48 chunks per dispatch.
     # Hotword automatons ride the kernel too (round 3): their transposed
     # [V, 2*S_pad] limb tables are VMEM-resident, measured to fit up to
     # S=500 states at batch 32.
-    fits_vmem = enc_out.shape[0] * enc_out.shape[1] <= 39600
+    local_b = enc_out.shape[0] // n_shards
+    fits_vmem = local_b * enc_out.shape[1] <= 39600
     hw_fits = (not with_hotwords) or (
         hw_tables is not None and hw_tables.next_state.shape[0] <= 500)
-    if use_pallas_beam and beam_size >= 4 and fits_vmem and hw_fits:
+    if use_pallas_beam and beam_size >= 4 and fits_vmem and hw_fits \
+            and enc_out.shape[0] % n_shards == 0:
         # Single-megakernel scan: ~1.5x the XLA path on hardware and
         # token-faithful to the exact f32 algorithm (ops/beam_search_pallas).
         from sherpa_vietnamese_asr_tpu.ops.beam_search_pallas import (
             beam_search_batch_pallas,
         )
-        result = beam_search_batch_pallas(
-            enc_out, enc_lens, dec_params, joi_params, rnnt_cfg,
-            beam_size=beam_size,
-            hw_tables=hw_tables if with_hotwords else None,
-            with_hotwords=with_hotwords,
-            # Precision TIER consistency (PERFORMANCE.md "Precision
-            # tiers"): the joiner dots ride the same class as the encoder.
-            # bf16 serving -> native bf16 dots; fp32 "high" -> the kernel's
-            # 3-pass hi/lo split (the same bf16_3x algorithm XLA's "high"
-            # lowers to); fp32 "highest" -> exact 6-pass. Measured on v5e,
-            # cross-platform (TPU vs CPU) token flips on RANDOM weights are
-            # ~1-2.5% in EVERY tier incl. highest/XLA-only (near-tied beam
-            # decisions; trained weights separate decisively), so tiers
-            # trade speed against emulation passes, not against a
-            # bit-identity contract no platform pair can honor.
-            fast_dots=(zip_cfg.compute_dtype == "bfloat16"
-                       or zip_cfg.matmul_precision == "high"))
+        # Precision TIER consistency (PERFORMANCE.md "Precision
+        # tiers"): the joiner dots ride the same class as the encoder.
+        # bf16 serving -> native bf16 dots; fp32 "high" -> the kernel's
+        # 3-pass hi/lo split (the same bf16_3x algorithm XLA's "high"
+        # lowers to); fp32 "highest" -> exact 6-pass. Measured on v5e,
+        # cross-platform (TPU vs CPU) token flips on RANDOM weights are
+        # ~1-2.5% in EVERY tier incl. highest/XLA-only (near-tied beam
+        # decisions; trained weights separate decisively), so tiers
+        # trade speed against emulation passes, not against a
+        # bit-identity contract no platform pair can honor.
+        fast = (zip_cfg.compute_dtype == "bfloat16"
+                or zip_cfg.matmul_precision == "high")
+        hw = hw_tables if with_hotwords else None
+
+        def beam_fn(eo, el, dp, jp, hwt):
+            return beam_search_batch_pallas(
+                eo, el, dp, jp, rnnt_cfg, beam_size=beam_size,
+                hw_tables=hwt, with_hotwords=with_hotwords,
+                fast_dots=fast, interpret=pallas_interpret)
+
+        if mesh is None:
+            result = beam_fn(enc_out, enc_lens, dec_params, joi_params, hw)
+        else:
+            # Per-shard kernel launch: batch sharded over "data", params
+            # (and hotword tables) replicated. No collectives — chunks are
+            # independent; results stay batch-sharded for the host gather.
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+            result = shard_map(
+                beam_fn, mesh=mesh,
+                in_specs=(P("data"), P("data"), P(), P(), P()),
+                out_specs=P("data"),
+                # No collectives inside (chunks are independent), so skip
+                # the varying-mesh-axes check: pallas_call out_shapes carry
+                # no vma annotation and would fail it spuriously.
+                check_vma=False,
+            )(enc_out, enc_lens, dec_params, joi_params, hw)
     else:
         # Same tier for the XLA scan's dots as the encoder/kernel use, so
         # the kernel<->scan fallback (VMEM gate above) stays in-class.
@@ -107,12 +140,13 @@ def decode_feats_jit(feats, n_frames, enc_params, dec_params, joi_params,
 @functools.partial(
     jax.jit,
     static_argnames=("zip_cfg", "rnnt_cfg", "beam_size", "with_hotwords",
-                     "use_pallas_fbank", "use_pallas_beam"),
+                     "use_pallas_fbank", "use_pallas_beam", "mesh",
+                     "pallas_interpret"),
 )
 def decode_batch_jit(audio, audio_lens, enc_params, dec_params, joi_params,
                      zip_cfg, rnnt_cfg, beam_size, hw_tables=None,
                      with_hotwords=False, use_pallas_fbank=False,
-                     use_pallas_beam=False):
+                     use_pallas_beam=False, mesh=None, pallas_interpret=False):
     """[B, L] padded audio -> (BeamResult, enc_lens). One compiled program."""
     feats = fbank_ops.compute_fbank(audio, ASR_FBANK,
                                     use_pallas=use_pallas_fbank)
@@ -120,7 +154,8 @@ def decode_batch_jit(audio, audio_lens, enc_params, dec_params, joi_params,
     return decode_feats_jit(feats, n_frames, enc_params, dec_params,
                             joi_params, zip_cfg, rnnt_cfg, beam_size,
                             hw_tables=hw_tables, with_hotwords=with_hotwords,
-                            use_pallas_beam=use_pallas_beam)
+                            use_pallas_beam=use_pallas_beam, mesh=mesh,
+                            pallas_interpret=pallas_interpret)
 
 
 class BatchedChunkDecoder:
@@ -136,7 +171,8 @@ class BatchedChunkDecoder:
                  model_b: AsrModel | None = None,
                  chunk_transform=None,
                  transfer_dtype: str | None = None,
-                 mesh=None):
+                 mesh=None,
+                 use_pallas_beam: bool | str | None = None):
         self.model = model
         self.model_b = model_b
         # Multi-chip SPMD: shard the chunk batch over the mesh's "data"
@@ -152,8 +188,11 @@ class BatchedChunkDecoder:
             from sherpa_vietnamese_asr_tpu.parallel.sharding import (
                 shard_model,
             )
-            assert max_batch % mesh.devices.size == 0, \
-                "max_batch must be a multiple of the mesh size"
+            # Pad the batch up to a mesh multiple (every launch already
+            # pads the last group to max_batch, so this just makes the
+            # static batch dim divisible — strictly better than crashing).
+            size = mesh.devices.size
+            max_batch = -(-max_batch // size) * size
             self.model = model = shard_model(model, mesh)
             if model_b is not None:
                 self.model_b = model_b = shard_model(model_b, mesh)
@@ -163,11 +202,16 @@ class BatchedChunkDecoder:
         if use_pallas_fbank is None:
             use_pallas_fbank = jax.default_backend() not in ("cpu",)
         self.use_pallas_fbank = use_pallas_fbank
-        # Pallas beam-search megakernel: TPU-only (Mosaic), not sharded —
-        # single-device decode only. Hotword automatons run in-kernel for
-        # up to 500 states (decode_feats_jit gates on table size).
-        self.use_pallas_beam = (jax.default_backend() not in ("cpu",)
-                                and mesh is None)
+        # Pallas beam-search megakernel: enabled on TPU backends, with or
+        # without a mesh (sharded decode runs the kernel per-shard under
+        # shard_map — round 4). Hotword automatons run in-kernel for up to
+        # 500 states (decode_feats_jit gates on table size). On CPU the
+        # kernel only exists in interpret mode; use_pallas_beam="interpret"
+        # forces that path (tests exercise the sharded kernel this way).
+        if use_pallas_beam is None:
+            use_pallas_beam = jax.default_backend() not in ("cpu",)
+        self.pallas_interpret = use_pallas_beam == "interpret"
+        self.use_pallas_beam = bool(use_pallas_beam)
         if transfer_dtype is None:
             # float32 by default: int16 halves upload bytes (~0.4 s per
             # 4 min of audio on the ~20 MB/s tunnel) but perturbs log-mel
@@ -255,6 +299,8 @@ class BatchedChunkDecoder:
                     hw_tables=model.hotword_tables,
                     with_hotwords=model.hotword_tables is not None,
                     use_pallas_beam=self.use_pallas_beam,
+                    mesh=self.mesh,
+                    pallas_interpret=self.pallas_interpret,
                 ))
             return group, launched
 
