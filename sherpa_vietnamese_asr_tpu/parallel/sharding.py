@@ -26,6 +26,41 @@ def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def default_mesh() -> Mesh | None:
+    """Mesh over all devices on multi-device accelerator backends, else None.
+
+    Single-chip (and CPU test) runs stay mesh-free; stages auto-shard their
+    batches when real multi-chip hardware is present — the TPU
+    generalization of the reference's fixed 2-worker chunk pool
+    (reference core/asr_engine.py:2250-2415)."""
+    if jax.default_backend() not in ("cpu",) and len(jax.devices()) > 1:
+        return make_mesh()
+    return None
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a parameter pytree across the mesh."""
+    return jax.device_put(tree, NamedSharding(mesh, P()))
+
+
+def shard_batch(arr, mesh: Mesh):
+    """Pad the leading axis up to a mesh multiple and shard it over "data".
+
+    Returns (device_array, original_n): callers slice outputs back to n.
+    Zero rows are decoded/scored like any other row and discarded — strictly
+    cheaper than a host-side remainder loop and keeps ONE compiled shape.
+    """
+    arr = np.asarray(arr)
+    n = arr.shape[0]
+    size = mesh.devices.size
+    m = -(-n // size) * size
+    if m != n:
+        arr = np.concatenate(
+            [arr, np.zeros((m - n,) + arr.shape[1:], arr.dtype)], axis=0)
+    spec = P("data", *([None] * (arr.ndim - 1)))
+    return jax.device_put(jnp.asarray(arr), NamedSharding(mesh, spec)), n
+
+
 def shard_model(model, mesh: Mesh):
     """Replicate model parameter pytrees across the mesh."""
     rep = NamedSharding(mesh, P())

@@ -179,10 +179,11 @@ class BatchedChunkDecoder:
         # axis (parallel/sharding.py). Auto-enabled on multi-device TPU
         # backends; pass mesh explicitly elsewhere (tests use the 8-device
         # CPU mesh). max_batch must be a multiple of the mesh size.
-        if mesh is None and jax.default_backend() not in ("cpu",) \
-                and len(jax.devices()) > 1:
-            from sherpa_vietnamese_asr_tpu.parallel.sharding import make_mesh
-            mesh = make_mesh()
+        if mesh is None:
+            from sherpa_vietnamese_asr_tpu.parallel.sharding import (
+                default_mesh,
+            )
+            mesh = default_mesh()
         self.mesh = mesh
         if mesh is not None:
             from sherpa_vietnamese_asr_tpu.parallel.sharding import (

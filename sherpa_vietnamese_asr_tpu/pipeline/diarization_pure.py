@@ -327,11 +327,8 @@ def superblock_samples(n_windows: int) -> int:
     return max(fbank_need, seg_need)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("seg_cfg", "emb_cfg", "n_windows",
-                                    "min_seg_frames", "quantized"))
-def _superblock_jit(seg_params, emb_params, block, seg_cfg, emb_cfg,
-                    n_windows, min_seg_frames, quantized):
+def _superblock_body(seg_params, emb_params, block, seg_cfg, emb_cfg,
+                     n_windows, min_seg_frames, quantized):
     """One fused device program over a span of audio covering `n_windows`
     overlapped chunks: segmentation AND speaker embeddings.
 
@@ -399,6 +396,26 @@ def _superblock_jit(seg_params, emb_params, block, seg_cfg, emb_cfg,
     return am.astype(jnp.int8), emb, valid
 
 
+_superblock_jit = functools.partial(
+    jax.jit, static_argnames=("seg_cfg", "emb_cfg", "n_windows",
+                              "min_seg_frames", "quantized"))(_superblock_body)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("seg_cfg", "emb_cfg", "n_windows",
+                                    "min_seg_frames", "quantized"))
+def _superblock_batch_jit(seg_params, emb_params, blocks, seg_cfg, emb_cfg,
+                          n_windows, min_seg_frames, quantized):
+    """vmapped superblock over a [M, sb_len] batch of spans — the multi-chip
+    path: blocks shard over the mesh "data" axis (one superblock per device
+    per dispatch), params replicated. Semantics identical to M sequential
+    _superblock_jit calls."""
+    return jax.vmap(
+        lambda blk: _superblock_body(seg_params, emb_params, blk, seg_cfg,
+                                     emb_cfg, n_windows, min_seg_frames,
+                                     quantized))(blocks)
+
+
 class PureDiarizer:
     """pyannote-Community-1 replica; see module docstring.
 
@@ -414,7 +431,7 @@ class PureDiarizer:
                  num_speakers=-1, min_speakers=None, max_speakers=None,
                  segmentation_batch_size=32, embedding_batch_size=64,
                  fused=True, superblock_windows=64,
-                 transfer_dtype="int16", model_dir=None):
+                 transfer_dtype="int16", model_dir=None, mesh="auto"):
         import os
 
         from sherpa_vietnamese_asr_tpu.models.pyannet import PyanNetConfig
@@ -471,6 +488,13 @@ class PureDiarizer:
             assets.warn_random("speaker embedding (ResNet34)")
             emb_params = init_resnet_params(jax.random.PRNGKey(1),
                                             self.emb_cfg)
+        # Multi-chip: superblocks shard over the mesh "data" axis (one span
+        # per device per dispatch, _superblock_batch_jit), params replicated.
+        from sherpa_vietnamese_asr_tpu.parallel import sharding as shd
+        self.mesh = shd.default_mesh() if mesh == "auto" else mesh
+        if self.mesh is not None:
+            seg_params = shd.replicate(seg_params, self.mesh)
+            emb_params = shd.replicate(emb_params, self.mesh)
         self.seg_params = seg_params
         self.emb_params = emb_params
         self.plda_data = plda_data
@@ -614,23 +638,55 @@ class PureDiarizer:
         am_out = np.empty((n, NUM_SEG_FRAMES), np.int8)
         emb_out = np.full((n, MAX_SPEAKERS_PER_CHUNK,
                            self.emb_cfg.embed_dim), np.nan, np.float32)
-        for b in range(0, n, w):
+
+        def build_block(b):
             s0 = starts[b]
             block = np.zeros(sb_len, host_audio.dtype)
             avail = min(sb_len, total - s0)
             if avail > 0:
                 block[:avail] = host_audio[s0: s0 + avail]
-            am, emb, valid = _superblock_jit(
-                self.seg_params, self.emb_params, jnp.asarray(block),
-                self.seg_cfg, self.emb_cfg, w, min_seg_frames, quantized)
-            am, emb, valid = (np.asarray(am), np.asarray(emb),
-                              np.asarray(valid))
+            return block
+
+        def scatter(b, am, emb, valid):
             take = min(w, n - b)
             am_out[b: b + take] = am[:take]
             sel = valid[:take]
             emb_out[b: b + take][sel] = emb[:take][sel]
+
+        block_starts = list(range(0, n, w))
+        group = 1 if self.mesh is None else self.mesh.devices.size
+        for gi in range(0, len(block_starts), group):
+            bs = block_starts[gi: gi + group]
+            if self.mesh is None:
+                am, emb, valid = _superblock_jit(
+                    self.seg_params, self.emb_params,
+                    jnp.asarray(build_block(bs[0])), self.seg_cfg,
+                    self.emb_cfg, w, min_seg_frames, quantized)
+                outs = [(bs[0], np.asarray(am), np.asarray(emb),
+                         np.asarray(valid))]
+            else:
+                # Multi-chip: one superblock per device per dispatch,
+                # batch sharded over "data" (zero-padded tail blocks are
+                # computed and discarded — keeps ONE compiled shape).
+                from sherpa_vietnamese_asr_tpu.parallel.sharding import (
+                    shard_batch,
+                )
+                blocks = np.stack([build_block(b) for b in bs])
+                dev_blocks, n_real = shard_batch(blocks, self.mesh)
+                am, emb, valid = _superblock_batch_jit(
+                    self.seg_params, self.emb_params, dev_blocks,
+                    self.seg_cfg, self.emb_cfg, w, min_seg_frames,
+                    quantized)
+                am, emb, valid = (np.asarray(am)[:n_real],
+                                  np.asarray(emb)[:n_real],
+                                  np.asarray(valid)[:n_real])
+                outs = [(b, am[i], emb[i], valid[i])
+                        for i, b in enumerate(bs)]
+            for b, am_i, emb_i, valid_i in outs:
+                scatter(b, am_i, emb_i, valid_i)
             if progress_callback:
-                progress_callback(int(min(b + w, n) / n * 85), 100)
+                done = min(bs[-1] + w, n)
+                progress_callback(int(done / n * 85), 100)
         binarized = POWERSET_MAP[am_out]
         return binarized, starts, emb_out
 

@@ -139,7 +139,17 @@ class GecBert:
                  min_error_probability=0.0, confidence=0.0,
                  case_confidence=0.0, split_chunk=True, chunk_size=56,
                  overlap_size=16, min_words_cut=6,
-                 punc_dict=(":", ".", ",", "?"), mini_batch_size=32):
+                 punc_dict=(":", ".", ",", "?"), mini_batch_size=32,
+                 mesh="auto"):
+        # Multi-chip: ViBERT minibatches shard over the mesh "data" axis
+        # with replicated params (the reference runs these minibatches
+        # serially on one ORT session, core/gec_model.py:374-399).
+        from sherpa_vietnamese_asr_tpu.parallel import sharding as shd
+        self.mesh = shd.default_mesh() if mesh == "auto" else mesh
+        if self.mesh is not None:
+            size = self.mesh.devices.size
+            mini_batch_size = -(-mini_batch_size // size) * size
+            params = shd.replicate(params, self.mesh)
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -306,8 +316,6 @@ class GecBert:
         unsplit max_len inputs), so a handful of programs covers ANY
         transcript — `svt warmup` calls this so a cold one-shot run never
         compiles punctuation programs."""
-        import jax.numpy as jnp
-
         mb = self.mini_batch_size
         cap = self.cfg.max_position
         shapes = [(t, 64) for t in (64, 128, 256, 512) if t <= cap]
@@ -316,14 +324,23 @@ class GecBert:
         for t, w in shapes:
             _vibert_forward_jit(
                 self.params,
-                jnp.ones((mb, t), jnp.int32),
-                jnp.ones((mb, t), jnp.int32),
-                jnp.zeros((mb, t), jnp.int32),
-                jnp.zeros((mb, w), jnp.int32), self.cfg)
+                self._device_put_batch(np.ones((mb, t), np.int32)),
+                self._device_put_batch(np.ones((mb, t), np.int32)),
+                self._device_put_batch(np.zeros((mb, t), np.int32)),
+                self._device_put_batch(np.zeros((mb, w), np.int32)),
+                self.cfg)
+
+    def _device_put_batch(self, a):
+        """Minibatch upload: batch-sharded over the mesh when present."""
+        import jax.numpy as jnp
+        if self.mesh is None:
+            return jnp.asarray(a)
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.device_put(jnp.asarray(a),
+                              NamedSharding(self.mesh, P("data", None)))
 
     def _run_model(self, inputs):
-        import jax.numpy as jnp
-
         b = inputs["input_ids"].shape[0]
         mb = self.mini_batch_size
         logits_parts, detect_parts = [], []
@@ -333,7 +350,7 @@ class GecBert:
             def pad(a):
                 out = np.zeros((mb,) + a.shape[1:], a.dtype)
                 out[: sl.stop - sl.start] = a[sl]
-                return jnp.asarray(out)
+                return self._device_put_batch(out)
             lg, dt = _vibert_forward_jit(
                 self.params, pad(inputs["input_ids"]),
                 pad(inputs["attention_mask"]),

@@ -31,7 +31,7 @@ def _dnsmos_jit(params, batch, cfg):
 
 
 class QualityAnalyzer:
-    def __init__(self, params=None, cfg=None):
+    def __init__(self, params=None, cfg=None, mesh="auto"):
         from sherpa_vietnamese_asr_tpu.models.dnsmos import (
             DnsmosConfig, init_dnsmos_params,
         )
@@ -45,6 +45,12 @@ class QualityAnalyzer:
         if params is None:
             assets.warn_random("DNSMOS quality model")
             params = init_dnsmos_params(jax.random.PRNGKey(0), self.cfg)
+        # Multi-chip: window batches shard over the mesh "data" axis with
+        # replicated params (jit repartitions from the input shardings).
+        from sherpa_vietnamese_asr_tpu.parallel import sharding as shd
+        self.mesh = shd.default_mesh() if mesh == "auto" else mesh
+        if self.mesh is not None:
+            params = shd.replicate(params, self.mesh)
         self.params = params
 
     @staticmethod
@@ -65,8 +71,15 @@ class QualityAnalyzer:
         for i, w in enumerate(windows):
             n = min(len(w), DNSMOS_LEN)
             batch[i, :n] = w[:n]
-        raw = np.asarray(_dnsmos_jit(self.params, jnp.asarray(batch),
-                                     self.cfg))
+        if self.mesh is not None:
+            from sherpa_vietnamese_asr_tpu.parallel.sharding import (
+                shard_batch,
+            )
+            dev_batch, n_real = shard_batch(batch, self.mesh)
+        else:
+            dev_batch, n_real = jnp.asarray(batch), len(windows)
+        raw = np.asarray(_dnsmos_jit(self.params, dev_batch,
+                                     self.cfg))[:n_real]
         return [self._map_scores(r) for r in raw]
 
     def compute_dnsmos(self, audio):
