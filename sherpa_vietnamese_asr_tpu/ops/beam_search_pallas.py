@@ -90,10 +90,18 @@ def _beam_kernel(lens_ref, enc_ref, emb_hi_ref, emb_mid_ref,
          e0_ref, e1_ref) = rest
     pid = pl.program_id(0)
     f32 = jnp.float32
+    # Tokens are PACKED two-per-int32 lane (vocab ids < 2^16; round 4):
+    # word j holds position 2j in its low 16 bits and 2j+1 in the high bits.
+    # This halves the only VMEM-resident [B, beam, *] recording array, which
+    # set the batch-48 ceiling (16.9 MB at b=64, T=824 — PERFORMANCE.md).
+    # The appends below are pure adds because positions >= n_emit are zero
+    # by construction (init zeros, writes only at position n, parents carry
+    # the same invariant).
+    u_pack = (u + 1) // 2
 
     @pl.when(pid == 0)
     def _init():
-        tokens_ref[...] = jnp.zeros((b, beam, u), jnp.int32)
+        tokens_ref[...] = jnp.zeros((b, beam, u_pack), jnp.int32)
         n_emit_ref[...] = jnp.zeros((b, beam), jnp.int32)
         beam_iota2 = jax.lax.broadcasted_iota(jnp.int32, (b, beam), 1)
         logp_ref[...] = jnp.where(beam_iota2 == 0, f32(0.0), f32(NEG_INF))
@@ -277,7 +285,7 @@ def _beam_kernel(lens_ref, enc_ref, emb_hi_ref, emb_mid_ref,
         new_e0 = jnp.where(blank3, p_e0, p_e1)
         new_e1 = jnp.where(blank3, p_e1, emb_new)
 
-        # ---- positional token append ----------------------------------------
+        # ---- positional token append (packed 2-per-int32) -------------------
         # Tokens stay VMEM-resident for the in-kernel dedup's EXACT sequence
         # comparison; everything else emitted per frame (frames, tok_logp,
         # metrics) streams out as grid-blocked records and is reconstructed
@@ -285,10 +293,16 @@ def _beam_kernel(lens_ref, enc_ref, emb_hi_ref, emb_mid_ref,
         # old [B, beam, U] recording arrays cost ~8x their size in VMEM
         # read/write traffic EVERY frame (unrolled parent gathers) and set
         # the batch-32 VMEM ceiling.
-        cols = jax.lax.broadcasted_iota(jnp.int32, (b, beam, u), 2)
-        pos = jnp.clip(p_n, 0, u - 1)[:, :, None]
-        at_pos = (cols == pos) & (~blank3)
-        new_tokens = jnp.where(at_pos, tok[:, :, None], p_tokens)
+        cols_w = jax.lax.broadcasted_iota(jnp.int32, (b, beam, u_pack), 2)
+        pos = jnp.clip(p_n, 0, u - 1)
+        pos_w = (pos // 2)[:, :, None]
+        half = (pos - 2 * pos_w[:, :, 0])[:, :, None]       # 0 or 1
+        # tok << (16*half) without shifts: tok * (1 + 65535*half), exact in
+        # int32 (tok < 2^16). The other half of the target word is zero by
+        # the invariant, so the masked add IS the insert.
+        val = (tok[:, :, None] * (1 + 65535 * half))
+        at_word = (cols_w == pos_w) & (~blank3)
+        new_tokens = jnp.where(at_word, p_tokens + val, p_tokens)
         # tok_lp == top_score - parent cumulative score (both f32, exact chain)
         tok_lp = top_scores - p_logp
         new_n = p_n + jnp.where(is_blank, 0, 1)
@@ -298,11 +312,14 @@ def _beam_kernel(lens_ref, enc_ref, emb_hi_ref, emb_mid_ref,
         # Unrolled over old-beam index i; only 2D [B, beam] tensors (Mosaic
         # rejects [B, i, j] middle-axis broadcasts). Merged scores are the
         # (hotword-boosted) candidate scores, matching the XLA path's
-        # post-boost logsumexp.
+        # post-boost logsumexp. Packed words compare exactly: beyond-length
+        # halves are zero in both sequences whenever the lengths match (the
+        # eqs[i] length guard), so word equality == position equality.
+        nw = (new_n + 1) // 2                                 # words in use
         eqs = []  # eqs[i][b, j]: new beams i and j carry identical sequences
         for i in range(beam):
             same = (new_tokens == new_tokens[:, i:i + 1, :]) | \
-                (cols >= new_n[:, :, None])
+                (cols_w >= nw[:, :, None])
             # bool all-reduce misfires in Mosaic: reduce in int32 instead
             all_same = jnp.min(same.astype(jnp.int32), axis=-1) == 1
             eqs.append(all_same & (new_n == new_n[:, i:i + 1]))   # [B, beam(j)]
@@ -388,6 +405,7 @@ def beam_search_batch_pallas(enc_out, enc_lens, dec_params, joi_params,
     """
     b, t_max, _e = enc_out.shape
     u = t_max
+    assert cfg.vocab_size < 65536, "packed token layout needs vocab < 2^16"
     # Grid runs unroll frames per step; the frame axis pads up to a
     # multiple (padding frames are masked no-ops: lens gate writes, the
     # record rows hold identity parents / blank tokens).
@@ -427,8 +445,9 @@ def beam_search_batch_pallas(enc_out, enc_lens, dec_params, joi_params,
                      blank_id=cfg.blank_id, unk_id=cfg.unk_id,
                      fast_dots=fast_dots, with_hw=with_hw, s_pad=s_pad,
                      unroll=unroll)
+    u_pack = (u + 1) // 2  # tokens packed two-per-int32 (see _beam_kernel)
     out_shapes = [
-        jax.ShapeDtypeStruct((b, beam, u), jnp.int32),    # tokens
+        jax.ShapeDtypeStruct((b, beam, u_pack), jnp.int32),  # tokens (packed)
         jax.ShapeDtypeStruct((b, beam), jnp.int32),       # n_emit
         jax.ShapeDtypeStruct((b, beam), f32),             # logp
     ]
@@ -543,7 +562,13 @@ def beam_search_batch_pallas(enc_out, enc_lens, dec_params, joi_params,
                       )[:, :u]
     tok_logp = jnp.zeros((b, u + 1), f32).at[bb, poss].set(lps)[:, :u]
     ent = jnp.zeros((b, u + 1, 4), f32).at[bb, poss].set(mets)[:, :u]
+    # Unpack the 2-per-int32 token words back to [B, U] (outside the kernel;
+    # plain XLA): low 16 bits = even positions, high = odd.
+    tok_pack = take(tokens)                                   # [B, u_pack]
+    low = jnp.bitwise_and(tok_pack, 0xFFFF)
+    high = jnp.right_shift(tok_pack, 16)
+    tok_full = jnp.stack([low, high], axis=-1).reshape(b, 2 * u_pack)[:, :u]
     return BeamResult(
-        tokens=take(tokens), frames=frames, tok_logp=tok_logp,
+        tokens=tok_full, frames=frames, tok_logp=tok_logp,
         entropy=ent,                                          # [B, U, 4]
         num_tokens=n_sel, total_logp=take(logp))
