@@ -124,6 +124,12 @@ class TranscriberPipeline:
                 num_clusters=int(self.config.get("num_speakers", 0)) or -1,
                 threshold=float(self.config.get("diarization_threshold",
                                                 0.6)))
+        if (self.quality_analyzer is None
+                and self.config.get("quality_analysis", False)):
+            from sherpa_vietnamese_asr_tpu.pipeline.quality import (
+                QualityAnalyzer,
+            )
+            self.quality_analyzer = QualityAnalyzer()
         if (self.punct_restorer is None
                 and self.config.get("restore_punctuation", False)
                 and not self.config.get("bypass_restorer", False)):
@@ -283,6 +289,26 @@ class TranscriberPipeline:
         timing["vad"] = time.time() - t_vad
         if self._cancelled():
             return None
+
+        # ---- Diarization overlapped with decode (round 4) ----
+        # Diarization is transcript-independent (reference asr_engine.py:2606
+        # runs it serially after decode); start its backend now so its device
+        # programs interleave with decode batches and its host-side
+        # clustering rides the decode wait. _finish()'s process() call
+        # consumes the result.
+        if (self.config.get("speaker_diarization", False)
+                and self.diarizer is not None
+                and self.config.get("diarize_overlap_decode", True)):
+            from sherpa_vietnamese_asr_tpu.pipeline.diarization import (
+                SpeakerDiarizer,
+            )
+            if isinstance(self.diarizer, SpeakerDiarizer):
+                try:
+                    self._emit("PHASE:Transcription|Transcribing "
+                               "(diarization in background)|0")
+                    self.diarizer.start_background(audio)
+                except Exception:
+                    pass  # process() falls back to a synchronous run
 
         silent = chunking.find_silent_regions(concat_audio)
         plan = chunking.plan_chunks(len(concat_audio), silent)
