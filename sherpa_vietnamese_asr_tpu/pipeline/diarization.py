@@ -79,6 +79,7 @@ class SpeakerDiarizer:
         self.threshold = threshold
         self.backend_kwargs = backend_kwargs or {}
         self._backend = None
+        self._bg = None
 
     def initialize(self):
         info = SPEAKER_EMBEDDING_MODELS.get(self.model_id,
@@ -103,11 +104,52 @@ class SpeakerDiarizer:
     def overlap_regions(self):
         return getattr(self._backend, "overlap_regions", [])
 
-    def process(self, audio, progress_callback=None, asr_words=None):
-        """Run the backend and post-process. Returns [Segment]."""
+    def start_background(self, audio):
+        """Kick off the transcript-independent backend pass in a thread.
+
+        Diarization needs only audio (reference asr_engine.py:2606 runs it
+        strictly after decode; here it OVERLAPS the decode phase — JAX
+        dispatch is thread-safe and async, so the superblock programs
+        interleave with decode batches on the device while the host-side
+        clustering/VBx work rides the decode wait). The next process() call
+        consumes the result; word-dependent post-processing still happens
+        there, after ASR words exist."""
+        import threading
+
         if self._backend is None:
             self.initialize()
-        raw = self._backend.process(audio, progress_callback=progress_callback)
+        bg = {"done": threading.Event()}
+
+        def worker():
+            try:
+                bg["raw"] = self._backend.process(audio,
+                                                  progress_callback=None)
+            except Exception as e:  # surfaced (or retried) in process()
+                bg["err"] = e
+            finally:
+                bg["done"].set()
+
+        bg["thread"] = threading.Thread(target=worker, daemon=True,
+                                        name="svt-diarize-bg")
+        self._bg = bg
+        bg["thread"].start()
+
+    def process(self, audio, progress_callback=None, asr_words=None):
+        """Run the backend and post-process. Returns [Segment].
+
+        If start_background() ran, its result is consumed instead of
+        recomputing; a failed background pass falls back to a fresh
+        synchronous run so overlap can never change failure semantics."""
+        if self._backend is None:
+            self.initialize()
+        raw = None
+        if self._bg is not None:
+            bg, self._bg = self._bg, None
+            bg["done"].wait()
+            raw = bg.get("raw")
+        if raw is None:
+            raw = self._backend.process(audio,
+                                        progress_callback=progress_callback)
         segments = [Segment(s["start"], s["end"], s["speaker"]) for s in raw]
         return post_process_diarization_segments(segments,
                                                  asr_words=asr_words)

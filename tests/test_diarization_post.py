@@ -212,3 +212,59 @@ def test_vectorized_speaker_assignment_matches_linear_scan(rng):
         got = _assign_speakers_batch(words, segs, fallback_speaker=7)
         want = [linear(w, segs, 7) for w in words]
         assert got == want, f"trial {trial}"
+
+
+def test_diarization_background_overlap_matches_serial(tmp_path, rng):
+    """Round 4: diarization overlapped with decode (SpeakerDiarizer
+    start_background consumed by process) must produce the same result as
+    the serial path (diarize_overlap_decode=False)."""
+    import jax
+
+    from sherpa_vietnamese_asr_tpu.models.pyannet import (
+        PyanNetConfig, init_pyannet_params,
+    )
+    from sherpa_vietnamese_asr_tpu.models.registry import (
+        TINY_ZIPFORMER, random_asr_model,
+    )
+    from sherpa_vietnamese_asr_tpu.models.resnet_speaker import TINY_RESNET
+    from sherpa_vietnamese_asr_tpu.pipeline.diarization import SpeakerDiarizer
+    from sherpa_vietnamese_asr_tpu.pipeline.transcriber import (
+        TranscriberPipeline,
+    )
+    from sherpa_vietnamese_asr_tpu.utils.audio_io import write_wav
+
+    sr = 16000
+    t = np.arange(sr * 12) / sr
+    x = (0.3 * np.sin(2 * np.pi * 250 * t)
+         * (0.5 + 0.5 * np.sin(2 * np.pi * 2.5 * t))).astype(np.float32)
+    x += 0.02 * rng.standard_normal(len(x)).astype(np.float32)
+    path = tmp_path / "diar_bg.wav"
+    write_wav(str(path), x, sr)
+
+    model = random_asr_model(vocab_size=60, zip_cfg=TINY_ZIPFORMER,
+                             beam_size=2)
+    seg_cfg = PyanNetConfig(sinc_filters=16, conv_channels=12,
+                            lstm_hidden=16, lstm_layers=1, linear_dim=16)
+    bk = dict(seg_params=init_pyannet_params(jax.random.PRNGKey(3), seg_cfg),
+              seg_cfg=seg_cfg, emb_cfg=TINY_RESNET,
+              segmentation_batch_size=4, embedding_batch_size=4)
+
+    def vad(a):
+        return np.ones(len(a) // 512, np.float32)
+
+    def run(overlap):
+        diar = SpeakerDiarizer(backend_kwargs=bk)
+        return TranscriberPipeline(
+            str(path), model,
+            config={"speaker_diarization": True, "max_batch": 2,
+                    "diarize_overlap_decode": overlap},
+            vad_prob_fn=vad, diarizer=diar).run()
+
+    res_bg = run(True)
+    res_serial = run(False)
+    assert res_bg["has_speaker_diarization"]
+    assert res_bg["speaker_segments_raw"] == res_serial["speaker_segments_raw"]
+    assert [s["text"] for s in res_bg["segments"]] \
+        == [s["text"] for s in res_serial["segments"]]
+    assert [s.get("speaker_id") for s in res_bg["segments"]] \
+        == [s.get("speaker_id") for s in res_serial["segments"]]

@@ -16,6 +16,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def _run_driver_style(extra_env):
     env = dict(os.environ)
     env.update(extra_env)
+    # Tests smoke the tiny fast path; the driver's real call runs the full
+    # true-size pipeline dryrun (~10-20 min on one CPU core).
+    env["SVT_DRYRUN_FAST"] = "1"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     code = "import __graft_entry__ as g; g.dryrun_multichip(4)"
     return subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
@@ -24,11 +27,13 @@ def _run_driver_style(extra_env):
 
 def test_dryrun_multichip_inprocess():
     sys.path.insert(0, REPO)
+    os.environ["SVT_DRYRUN_FAST"] = "1"
     try:
         import __graft_entry__ as g
         g.dryrun_multichip(4)
     finally:
         sys.path.remove(REPO)
+        os.environ.pop("SVT_DRYRUN_FAST", None)
 
 
 def test_dryrun_multichip_hermetic_vs_poisoned_env():
