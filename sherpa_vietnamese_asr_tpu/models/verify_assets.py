@@ -135,6 +135,12 @@ def _verify_asr(key):
     rows = []
     try:
         m = load_asr_model(model_dir, compute_dtype="float32")
+        # Strict-parity forwards: f32 pos scores too, so exec cross-checks
+        # compare exact math, not bf16 rounding of the serving default.
+        import dataclasses
+
+        m = dataclasses.replace(m, zip_cfg=dataclasses.replace(
+            m.zip_cfg, pos_dtype="float32"))
         rows.append(_check("import", True,
                            f"vocab={m.rnnt_cfg.vocab_size}"))
     except Exception as e:
@@ -167,8 +173,19 @@ def _verify_asr(key):
     joi_path = next(p for f, p in paths.items()
                     if f.startswith("joiner") and f.endswith(".onnx"))
 
-    r, enc_outs = _exec_checks("encoder", enc_path,
-                               [x, lens.astype(np.int64)], [enc])
+    # Real sherpa exports take (x, x_lens); the first-party executable synth
+    # exports (models/onnx_export_rnnt) are static-shape batch-1 taking only
+    # x. Adapt the feed set to the graph's arity so both rehearse.
+    from sherpa_vietnamese_asr_tpu.models.onnx_import import read_onnx
+
+    enc_graph = read_onnx(enc_path)
+    n_feeds = len([n for n in enc_graph["inputs"]
+                   if n not in enc_graph["initializers"]])
+    if n_feeds == 1:
+        r, enc_outs = _exec_checks("encoder", enc_path, [x[:1]], [enc[:1]])
+    else:
+        r, enc_outs = _exec_checks("encoder", enc_path,
+                                   [x, lens.astype(np.int64)], [enc])
     rows += r
     r, _ = _exec_checks("decoder", dec_path, [ctx.astype(np.int64)], [dec])
     rows += r
@@ -176,8 +193,9 @@ def _verify_asr(key):
     rows += r
 
     if enc_outs is not None:
-        el = np.asarray(enc_lens)
-        res_jax = beam_search_batch(jnp.asarray(enc), jnp.asarray(el),
+        nb = np.asarray(enc_outs[0]).shape[0]
+        el = np.asarray(enc_lens)[:nb]
+        res_jax = beam_search_batch(jnp.asarray(enc[:nb]), jnp.asarray(el),
                                     m.dec_params, m.joi_params, m.rnnt_cfg,
                                     beam_size=4)
         res_ref = beam_search_batch(

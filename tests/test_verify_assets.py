@@ -82,70 +82,43 @@ def test_hash_mismatch_fails(monkeypatch, tmp_path):
 
 @pytest.fixture
 def tiny_asr_dir(tmp_path, monkeypatch):
-    """Synthesized weight-only ASR export set (TINY config, torch layouts)
-    under a models dir, with MANIFEST hashes repinned to the synth files —
-    the rehearsal's stand-in for a real download."""
+    """Synthesized EXECUTABLE ASR export set (TINY config, torch layouts,
+    real op graphs via models/onnx_export_rnnt) under a models dir, with
+    MANIFEST hashes repinned to the synth files — the rehearsal's stand-in
+    for a real download. The encoder is a static batch-1 t=96 export
+    (matching _verify_asr's probe length), exercising the single-feed
+    adaptation path."""
     import jax
 
-    from sherpa_vietnamese_asr_tpu.models.onnx_synth import GraphBuilder
-    from sherpa_vietnamese_asr_tpu.models.onnx_import import (
-        zipformer_name_map,
+    from sherpa_vietnamese_asr_tpu.models.onnx_export_rnnt import (
+        build_decoder_graph, build_encoder_graph, build_joiner_graph,
+        invert_rnnt_to_torch, invert_zipformer_to_torch,
     )
     from sherpa_vietnamese_asr_tpu.models.registry import TINY_ZIPFORMER
+    from sherpa_vietnamese_asr_tpu.models.rnnt import (
+        RnntConfig, init_decoder_params, init_joiner_params,
+    )
     from sherpa_vietnamese_asr_tpu.models.zipformer import (
         init_zipformer_params,
     )
 
-    rng = np.random.default_rng(0)
     zcfg = TINY_ZIPFORMER
-    params = init_zipformer_params(jax.random.PRNGKey(5), zcfg)
-    name_map = zipformer_name_map(params, zcfg)
-
-    def read_dest(set_fn):
-        names = set_fn.__code__.co_freevars
-        cells = {n: c.cell_contents
-                 for n, c in zip(names, set_fn.__closure__)}
-        return np.asarray(cells["node"][cells["key"]])
-
-    def synth(tensors):
-        b = GraphBuilder()
-        for n, t in tensors.items():
-            b.init(n, np.asarray(t, np.float32))
-        return b.build()
-
-    enc_tensors = {}
-    for src_name, (set_fn, transform) in name_map.items():
-        dest = read_dest(set_fn)
-        if transform is None:
-            t = dest
-        elif "depthwise_conv.weight" in src_name and dest.ndim == 2:
-            t = np.ascontiguousarray(dest.T)[:, None, :]
-        elif dest.ndim == 2:
-            t = np.ascontiguousarray(dest.T)
-        elif dest.ndim == 4:
-            t = np.ascontiguousarray(np.transpose(dest, (3, 2, 0, 1)))
-        else:
-            t = dest
-        enc_tensors[src_name] = t
-
     vocab = 30
-    dec = {"embedding.weight": rng.standard_normal((vocab, 16)),
-           "conv.weight": rng.standard_normal((16, 4, 2))}
-    joi = {"encoder_proj.weight":
-           rng.standard_normal((12, zcfg.output_dim)),
-           "encoder_proj.bias": rng.standard_normal(12),
-           "decoder_proj.weight": rng.standard_normal((12, 16)),
-           "decoder_proj.bias": rng.standard_normal(12),
-           "output_linear.weight": rng.standard_normal((vocab, 12)),
-           "output_linear.bias": rng.standard_normal(vocab)}
+    rcfg = RnntConfig(vocab_size=vocab, decoder_dim=16, joiner_dim=12,
+                      encoder_out_dim=zcfg.output_dim)
+    params = init_zipformer_params(jax.random.PRNGKey(5), zcfg)
+    dec_p = init_decoder_params(jax.random.PRNGKey(6), rcfg)
+    joi_p = init_joiner_params(jax.random.PRNGKey(7), rcfg)
+    dec_t, joi_t = invert_rnnt_to_torch(dec_p, joi_p)
 
     spec = assets.MANIFEST["zipformer-30m"]
     d = tmp_path / spec["local_dir"]
     d.mkdir()
     files = {
-        "encoder-epoch-20-avg-10.onnx": synth(enc_tensors),
-        "decoder-epoch-20-avg-10.onnx": synth(dec),
-        "joiner-epoch-20-avg-10.onnx": synth(joi),
+        "encoder-epoch-20-avg-10.onnx": build_encoder_graph(
+            invert_zipformer_to_torch(params, zcfg), zcfg, t_in=96),
+        "decoder-epoch-20-avg-10.onnx": build_decoder_graph(dec_t, rcfg),
+        "joiner-epoch-20-avg-10.onnx": build_joiner_graph(joi_t),
         "bpe.model": b"synthetic",
         "tokens.txt": "".join(f"tok{i} {i}\n"
                               for i in range(vocab)).encode(),
@@ -184,24 +157,26 @@ def tiny_asr_dir(tmp_path, monkeypatch):
 
 
 def test_asr_rehearsal_on_synth_export(tiny_asr_dir):
-    """Full verify-asset pass over a synthesized ASR export: hashes pass,
-    import + forwards pass, exec/token checks report explicit skips
-    (weight-only export) — status 'partial', never a silent 'verified'."""
+    """Full verify-asset pass over a synthesized EXECUTABLE ASR export:
+    hashes pass, import + forwards pass, every exec cross-check and the
+    beam token-identity check actually run — status 'verified'."""
     rep = va.verify_asset("zipformer-30m")
-    assert rep["status"] == "partial", rep
+    assert rep["status"] == "verified", va.format_report(
+        {"assets": {"zipformer-30m": rep}, "ok": False})
     by = {c["check"]: c for c in rep["checks"]}
     assert by["import"]["ok"] is True
     assert by["forward.encoder"]["ok"] is True
     assert by["forward.decoder"]["ok"] is True
     assert by["forward.joiner"]["ok"] is True
-    assert by["encoder.exec"]["ok"] is None
-    assert by["tokens.decode"]["ok"] is None
-    assert all(c["ok"] is not False for c in rep["checks"])
+    assert by["encoder.exec[0]"]["ok"] is True
+    assert by["decoder.exec[0]"]["ok"] is True
+    assert by["joiner.exec[0]"]["ok"] is True
+    assert by["tokens.decode"]["ok"] is True
 
 
 def test_report_formatting_and_overall(tiny_asr_dir):
     rep = va.verify_assets(["zipformer-30m"])
     assert rep["ok"] is True
     text = va.format_report(rep)
-    assert "zipformer-30m: PARTIAL" in text
+    assert "zipformer-30m: VERIFIED" in text
     assert "overall: OK" in text
