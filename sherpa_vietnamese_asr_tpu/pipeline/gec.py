@@ -37,6 +37,44 @@ def _vibert_forward_jit(params, input_ids, attention_mask, token_type_ids,
     return vibert_forward(params, input_ids, attention_mask, token_type_ids,
                           input_offsets, cfg)
 
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "t", "w", "noop_index",
+                                    "incorr_index"))
+def _vibert_decode_jit(params, packed, hints, bias, nud_p, nud_c, nud_cneg,
+                       cfg, t, w, noop_index, incorr_index):
+    """ViBERT forward + the whole of _convert ON DEVICE (round 4).
+
+    The GEC steady state was dispatch/transfer-bound (PERFORMANCE.md): per
+    minibatch the host uploaded 4 int32 arrays and downloaded full
+    [mb, W, L] logits + [mb, W, 4] detect. This program takes ONE packed
+    int32 upload ([mb, 2t+w]: ids | attention | offsets; token_type_ids is
+    always zeros and built in-graph), applies the confidence bias and
+    pause-hint nudging vectorized (reference core/gec_model.py:499-552
+    semantics: gap>=1.0 pushes $APPEND_. when $KEEP won, gap in [0.2,1)
+    pushes $APPEND_,, gap<0.1 suppresses $APPEND_,; NaN hints compare False
+    so rows without hints are untouched), and downloads only the [mb, W]
+    max-prob/argmax and [mb] error-prob reductions."""
+    import jax.numpy as jnp
+
+    from sherpa_vietnamese_asr_tpu.models.vibert import vibert_forward
+
+    ids = packed[:, :t]
+    att = packed[:, t:2 * t]
+    offs = packed[:, 2 * t:2 * t + w]
+    logits, detect = vibert_forward(params, ids, att, jnp.zeros_like(ids),
+                                    offs, cfg)
+    probs = jax.nn.softmax(logits, axis=-1) + bias
+    derr = jax.nn.softmax(detect, axis=-1)[:, :, incorr_index].max(axis=-1)
+    cur_keep = jnp.argmax(probs, axis=-1) == noop_index
+    c1 = (hints >= 1.0) & cur_keep
+    c2 = (hints >= 0.2) & (hints < 1.0) & cur_keep
+    c3 = hints < 0.1
+    probs = (probs + c1[..., None] * nud_p + c2[..., None] * nud_c
+             + c3[..., None] * nud_cneg)
+    return (probs.max(axis=-1), jnp.argmax(probs, axis=-1).astype(jnp.int32),
+            derr)
+
 PAD = "@@PADDING@@"
 UNK = "@@UNKNOWN@@"
 START_TOKEN = "$START"
@@ -178,6 +216,26 @@ class GecBert:
         self.punc_str = "[" + "".join(f"\\{x}" for x in punc_dict) + "]"
         self.mini_batch_size = mini_batch_size
         self.start_id = tokenizer.add_token(START_TOKEN)
+        # Constant label-space vectors for the on-device decode
+        # (_vibert_decode_jit): confidence bias and the three pause-nudge
+        # deltas. Replicated over the mesh alongside the params.
+        n_labels = len(self.labels)
+        bias = np.zeros((n_labels,), np.float32)
+        bias[self.noop_index] += np.float32(self.confidence)
+        for i in self.case_indices:
+            bias[i] += np.float32(self.case_confidence)
+        nud_p = np.zeros((n_labels,), np.float32)
+        nud_p[self.noop_index] = -0.2
+        nud_p[self.append_period_index] = 0.2
+        nud_c = np.zeros((n_labels,), np.float32)
+        nud_c[self.append_comma_index] = 0.2
+        nud_cneg = np.zeros((n_labels,), np.float32)
+        nud_cneg[self.append_comma_index] = -0.3
+        import jax.numpy as jnp
+        vecs = tuple(jnp.asarray(v) for v in (bias, nud_p, nud_c, nud_cneg))
+        if self.mesh is not None:
+            vecs = shd.replicate(vecs, self.mesh)
+        self._decode_vecs = vecs
 
     # -- chunking ----------------------------------------------------------
     def split_chunks(self, batch, pause_hints=None):
@@ -322,13 +380,12 @@ class GecBert:
         if cap >= 128:
             shapes.append((128, 128))
         for t, w in shapes:
-            _vibert_forward_jit(
-                self.params,
-                self._device_put_batch(np.ones((mb, t), np.int32)),
-                self._device_put_batch(np.ones((mb, t), np.int32)),
-                self._device_put_batch(np.zeros((mb, t), np.int32)),
-                self._device_put_batch(np.zeros((mb, w), np.int32)),
-                self.cfg)
+            packed = np.ones((mb, 2 * t + w), np.int32)
+            _vibert_decode_jit(
+                self.params, self._device_put_batch(packed),
+                self._device_put_batch(np.full((mb, w), np.nan, np.float32)),
+                *self._decode_vecs, cfg=self.cfg, t=t, w=w,
+                noop_index=self.noop_index, incorr_index=self.incorr_index)
 
     def _device_put_batch(self, a):
         """Minibatch upload: batch-sharded over the mesh when present."""
@@ -339,6 +396,48 @@ class GecBert:
         from jax.sharding import NamedSharding, PartitionSpec as P
         return jax.device_put(jnp.asarray(a),
                               NamedSharding(self.mesh, P("data", None)))
+
+    def _run_decode(self, inputs, hints_rows=None):
+        """On-device forward + convert (round 4): one packed int32 upload
+        and [mb, W]-sized downloads per minibatch instead of 4 uploads and
+        full logits (see _vibert_decode_jit). Returns (max_probs [B, W],
+        label_idxs [B, W], error_probs [B]) as nested lists — the exact
+        output contract of _convert(_run_model(...)), parity-tested."""
+        ids = inputs["input_ids"]
+        att = inputs["attention_mask"]
+        offs = inputs["input_offsets"]
+        b, t = ids.shape
+        w = offs.shape[1]
+        hints_arr = np.full((b, w), np.nan, np.float32)
+        if hints_rows is not None:
+            for i, hints in enumerate(hints_rows):
+                if hints is None:
+                    continue
+                hv = np.asarray(list(hints), np.float32)[: w - 1]
+                # word wi's gap applies at token index wi+1 ($START at 0)
+                hints_arr[i, 1: 1 + len(hv)] = hv
+        mb = self.mini_batch_size
+        mp_parts, idx_parts, err_parts = [], [], []
+        for i in range(0, b, mb):
+            sl = slice(i, min(i + mb, b))
+            k = sl.stop - sl.start
+            packed = np.zeros((mb, 2 * t + w), np.int32)
+            packed[:k, :t] = ids[sl]
+            packed[:k, t: 2 * t] = att[sl]
+            packed[:k, 2 * t:] = offs[sl]
+            hsl = np.full((mb, w), np.nan, np.float32)
+            hsl[:k] = hints_arr[sl]
+            mp, ix, er = _vibert_decode_jit(
+                self.params, self._device_put_batch(packed),
+                self._device_put_batch(hsl), *self._decode_vecs,
+                cfg=self.cfg, t=t, w=w, noop_index=self.noop_index,
+                incorr_index=self.incorr_index)
+            mp_parts.append(np.asarray(mp)[:k])
+            idx_parts.append(np.asarray(ix)[:k])
+            err_parts.append(np.asarray(er)[:k])
+        return (np.concatenate(mp_parts, axis=0).tolist(),
+                np.concatenate(idx_parts, axis=0).tolist(),
+                np.concatenate(err_parts, axis=0).tolist())
 
     def _run_model(self, inputs):
         b = inputs["input_ids"].shape[0]
@@ -452,9 +551,7 @@ class GecBert:
             inputs = self.preprocess(orig)
             if inputs is None:
                 break
-            logits, detect = self._run_model(inputs)
-            probs, idxs, errs = self._convert(logits, detect,
-                                              pause_hints_batch=hints)
+            probs, idxs, errs = self._run_decode(inputs, hints_rows=hints)
             pred_batch = self.postprocess_batch(orig, probs, idxs, errs)
             new_pred_ids = []
             for i, oid in enumerate(pred_ids):

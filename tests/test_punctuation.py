@@ -77,6 +77,33 @@ def test_convert_pause_nudges():
     assert idxs3[0][1] == gec.noop_index
 
 
+def test_run_decode_matches_host_convert():
+    """On-device decode (round 4: _vibert_decode_jit, one packed upload,
+    reduced downloads) == the host reference path _convert(_run_model(...)),
+    including pause-hint nudging and confidence biases."""
+    gec = _tiny_gec(mini_batch_size=4, confidence=0.05, case_confidence=0.02)
+    sents = [["xin", "chao", "viet", "nam"],
+             ["hom", "nay", "troi", "dep", "rat", "vui"],
+             ["mot", "hai", "ba"],
+             ["rat", "vui"],
+             ["nam", "nay", "dep"]]  # 5 rows -> 2 minibatches of 4
+    hints = [[0.0, 1.5, 0.0, 0.0], None, [0.05, 0.3, 0.0],
+             [2.0, 0.0], None]
+    inputs = gec.preprocess(sents)
+    logits, detect = gec._run_model(inputs)
+    p_ref, i_ref, e_ref = gec._convert(logits.copy(), detect,
+                                       pause_hints_batch=hints)
+    p_dev, i_dev, e_dev = gec._run_decode(inputs, hints_rows=hints)
+    assert i_dev == i_ref
+    np.testing.assert_allclose(p_dev, p_ref, atol=2e-6)
+    np.testing.assert_allclose(e_dev, e_ref, atol=2e-6)
+    # no-hints path too
+    p2_ref, i2_ref, e2_ref = gec._convert(logits.copy(), detect)
+    p2_dev, i2_dev, e2_dev = gec._run_decode(inputs)
+    assert i2_dev == i2_ref
+    np.testing.assert_allclose(p2_dev, p2_ref, atol=2e-6)
+
+
 def test_split_and_merge_chunks_identity():
     gec = _tiny_gec(chunk_size=16, overlap_size=6, min_words_cut=2)
     words = [f"w{i}" for i in range(50)]

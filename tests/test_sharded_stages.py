@@ -59,6 +59,12 @@ def test_gec_sharded_matches_single_device():
     lg_s, dt_s = shard._run_model(inp_s)
     np.testing.assert_allclose(lg_s, lg_p, rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(dt_s, dt_p, rtol=2e-4, atol=2e-5)
+    # On-device decode path (round 4): label choices identical across mesh
+    p_p, i_p, e_p = plain._run_decode(inp_p)
+    p_s, i_s, e_s = shard._run_decode(inp_s)
+    assert i_s == i_p
+    np.testing.assert_allclose(p_s, p_p, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(e_s, e_p, rtol=2e-4, atol=2e-5)
     # End-to-end text identical too (tiny random model: output is arbitrary
     # but must be the SAME arbitrary text on both paths).
     text = "xin chao viet nam hom nay troi dep"
