@@ -46,6 +46,32 @@ from sherpa_vietnamese_asr_tpu.ops.beam_search import NEG_INF, BeamResult
 _INT_BIG = 2 ** 30  # python int: jnp scalars here would be captured consts
 
 
+def beam_kernel_vmem_bytes(b: int, beam: int, u: int, v: int, d: int,
+                           e_dim: int, unroll: int = 1, s_pad: int = 0,
+                           with_hw: bool = False) -> int:
+    """Estimated scoped-VMEM footprint of the beam megakernel (bytes).
+
+    Residents: 3 bf16 embedding limbs, dense decoder mats, joiner weights,
+    (optional) hotword limb tables, packed token array, beam scalars, e0/e1
+    scratch, double-buffered streamed blocks. Live temporaries are dominated
+    by the [B*beam, V] logits tile (plus bf16 hi/lo copies under fast_dots);
+    2.5x that plus a 15% allocator margin matches the compiler's measured
+    stack (20.13 MB at b=64/T=824/V=2000 vs 20.4 MB estimated)."""
+    resident = (
+        3 * v * d * 2                      # embedding limbs (bf16)
+        + 2 * d * d * 4                    # w0, w1
+        + d * d * 4 + e_dim * d * 4        # wdp, we
+        + d * v * 4 + (2 * d + v) * 4      # wo + biases
+        + (3 * v * 2 * s_pad * 2 if with_hw else 0)
+        + b * beam * ((u + 1) // 2) * 4    # packed tokens
+        + 3 * b * beam * 4                 # n_emit, logp, hw_state
+        + 2 * b * beam * d * 4             # e0, e1
+        + 2 * unroll * b * (e_dim * 4 + beam * 4 * 3 + 4 * beam * 4)
+    )
+    live = int(2.5 * b * beam * v * 4)
+    return int((resident + live) * 1.15)
+
+
 def _dense_decoder_weights(dec_params, cfg: RnntConfig):
     """Grouped context conv [D, D/G, K] -> K dense [D, D] matrices W_k with
     W_k[j, o] = conv[o, j % ipg, k] iff j and o are in the same group."""
@@ -501,6 +527,19 @@ def beam_search_batch_pallas(enc_out, enc_lens, dec_params, joi_params,
             pltpu.VMEM((b * beam, d), f32),                   # e1
         ],
         interpret=interpret,
+        # Raise the scoped-VMEM ceiling past the 16 MB XLA default (v5e has
+        # 128 MB physical VMEM): b=64 at T=824 needs 20.13 MB measured. The
+        # streamed record blocks keep the per-step working set small, so the
+        # only cost of a higher limit is less headroom for the surrounding
+        # program — decode programs are this kernel plus layout glue.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                100 * 1024 * 1024,
+                max(16 * 1024 * 1024,
+                    beam_kernel_vmem_bytes(b, beam, u, v, d,
+                                           enc_out.shape[2], unroll,
+                                           s_pad, with_hw))),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * t_max * b * beam * d * (2 * d + v + d)
             + 2 * t_max * b * beam * v * 8

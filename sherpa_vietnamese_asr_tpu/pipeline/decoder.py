@@ -62,19 +62,28 @@ def decode_feats_jit(feats, n_frames, enc_params, dec_params, joi_params,
     """
     enc_out, enc_lens = zipformer_encoder(enc_params, feats, n_frames, zip_cfg)
     n_shards = 1 if mesh is None else mesh.devices.size
-    # VMEM ceiling: after the round-3 streamed-records refactor only the
-    # [B, beam, T] token array stays VMEM-resident (in-kernel dedup needs
-    # exact sequence compares); at beam 8 that is 32*B*T bytes against the
-    # 16 MB scoped-VMEM budget. Measured on v5e at T=824: batch 48 compiles
-    # and runs, batch 64 OOMs the scoped stack by 4.9 MB — gate at the
-    # measured 48*824 product and fall back to the XLA scan above it.
+    # VMEM ceiling: the kernel raises its scoped-VMEM limit past the 16 MB
+    # XLA default (round 4, beam_search_pallas compiler_params) — v5e has
+    # 128 MB physical VMEM — so the round-3 batch-48 ceiling is gone
+    # (b=64/T=824 = 20.1 MB compiles and runs). Gate on the kernel's own
+    # footprint estimate against a 64 MB budget, leaving half the chip's
+    # VMEM for the surrounding program's buffers.
     # Under a mesh the kernel sees the per-device LOCAL batch, so the gate
     # scales with the mesh: 8 devices decode 8x48 chunks per dispatch.
     # Hotword automatons ride the kernel too (round 3): their transposed
     # [V, 2*S_pad] limb tables are VMEM-resident, measured to fit up to
     # S=500 states at batch 32.
+    from sherpa_vietnamese_asr_tpu.ops.beam_search_pallas import (
+        beam_kernel_vmem_bytes,
+    )
     local_b = enc_out.shape[0] // n_shards
-    fits_vmem = local_b * enc_out.shape[1] <= 39600
+    s_states = (hw_tables.next_state.shape[0]
+                if with_hotwords and hw_tables is not None else 0)
+    fits_vmem = beam_kernel_vmem_bytes(
+        max(local_b, 1), beam_size, enc_out.shape[1], rnnt_cfg.vocab_size,
+        rnnt_cfg.decoder_dim, enc_out.shape[2],
+        s_pad=max(128, -(-s_states // 128) * 128) if s_states else 0,
+        with_hw=s_states > 0) <= 64 * 1024 * 1024
     hw_fits = (not with_hotwords) or (
         hw_tables is not None and hw_tables.next_state.shape[0] <= 500)
     if use_pallas_beam and beam_size >= 4 and fits_vmem and hw_fits \
