@@ -289,9 +289,17 @@ WantedBy=multi-user.target
 def cmd_calibrate(args):
     from sherpa_vietnamese_asr_tpu.pipeline.calibration import (
         auto_batch_size, autotune_max_batch, run_device_calibration,
+        run_full_pipeline_calibration,
     )
 
     report = run_device_calibration(progress_callback=print)
+    if args.full:
+        # Reference-style end-to-end compare: one real pipeline run per
+        # backend on a 10-min sample (core/calibration.py:1395-1560).
+        report["full_pipeline"] = run_full_pipeline_calibration(
+            minutes=args.full_minutes,
+            confidence_tol=args.confidence_tol,
+            progress_callback=print)
     if args.autotune:
         # Reference batch autotune (core/calibration.py:968) + VRAM-aware
         # sizing (hardware_accel.py:639-678), retargeted to TPU HBM.
@@ -448,9 +456,18 @@ def main(argv=None):
     c.add_argument("--autotune", action="store_true",
                    help="probe decode batch sizes and emit recommended "
                         "max_batch per stage")
-    c.add_argument("--candidates", default="8,16,32,48,64",
+    c.add_argument("--candidates", default="8,16,32,48,64,96",
                    help="comma-separated batch sizes to probe (each costs "
                         "a one-time compile of the decode program)")
+    c.add_argument("--full", action="store_true",
+                   help="also run the full pipeline once per backend on a "
+                        "synthetic 10-min sample and compare wall/stage "
+                        "speedups + output parity (reference "
+                        "core/calibration.py:1395-1560)")
+    c.add_argument("--full-minutes", type=float, default=10.0)
+    c.add_argument("--confidence-tol", type=float, default=1e-4,
+                   help="asr_confidence parity gate (reference default "
+                        "1e-4; widen for random-weight rehearsals)")
     c.set_defaults(fn=cmd_calibrate)
 
     m = sub.add_parser("monitor", help="resource monitor")

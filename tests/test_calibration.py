@@ -77,3 +77,60 @@ def test_autotune_records_failures():
     assert by_batch[-1]["ok"] is False and "error" in by_batch[-1]
     assert by_batch[1]["ok"] is True
     assert out["best_batch"] == 1
+
+
+def test_compare_pipeline_runs_gates():
+    """Port of reference _compare_runs gates (core/calibration.py:1479-1523):
+    parity needs text chars within max(20, 0.2%), identical speaker
+    counts/turns, confidence within tol; acceptance also needs >=1.05x."""
+    from sherpa_vietnamese_asr_tpu.pipeline.calibration import (
+        compare_pipeline_runs,
+    )
+
+    cpu = {"elapsed_sec": 10.0, "duration_sec": 60.0, "text_chars": 1000,
+           "speaker_count": 2, "speaker_turns": 9, "asr_confidence": 0.51,
+           "timing": {"transcription": 8.0, "diarization": 2.0}}
+    acc = {"elapsed_sec": 2.0, "duration_sec": 60.0, "text_chars": 1005,
+           "speaker_count": 2, "speaker_turns": 9, "asr_confidence": 0.51,
+           "timing": {"transcription": 1.5, "diarization": 0.5}}
+    cmp1 = compare_pipeline_runs(cpu, acc)
+    assert cmp1["parity_ok"] and cmp1["accepted"]
+    assert cmp1["wall_speedup"] == 5.0
+    assert cmp1["stage_speedups"]["diarization"] == 4.0
+    # text outside tolerance -> rejected
+    cmp2 = compare_pipeline_runs(cpu, {**acc, "text_chars": 1100})
+    assert not cmp2["text_tolerance_ok"] and not cmp2["accepted"]
+    # speaker count drift -> rejected
+    cmp3 = compare_pipeline_runs(cpu, {**acc, "speaker_count": 3})
+    assert not cmp3["parity_ok"]
+    # confidence drift beyond tol -> rejected; widened tol accepts
+    cmp4 = compare_pipeline_runs(cpu, {**acc, "asr_confidence": 0.512})
+    assert not cmp4["parity_ok"]
+    cmp5 = compare_pipeline_runs(cpu, {**acc, "asr_confidence": 0.512},
+                                 confidence_tol=5e-3)
+    assert cmp5["parity_ok"]
+
+
+def test_full_pipeline_calibration_cpu_vs_cpu(tmp_path):
+    """End-to-end run_full_pipeline_calibration on a short sample with a
+    tiny model: the accelerator pass (here: the test process's CPU backend)
+    and the subprocess CPU pass must produce parity-identical outputs."""
+    from sherpa_vietnamese_asr_tpu.pipeline.calibration import (
+        make_calibration_wav, run_full_pipeline_calibration,
+    )
+
+    wav = make_calibration_wav(str(tmp_path / "cal.wav"), minutes=0.2)
+    rep = run_full_pipeline_calibration(
+        wav_path=wav,
+        model_spec={"tiny": True, "vocab_size": 80, "seed": 0},
+        config={"speaker_diarization": False, "restore_punctuation": False,
+                "quality_analysis": False},
+        cpu_timeout_sec=560)
+    assert set(rep) == {"cpu_run", "accel_run", "compare"}
+    for run in (rep["cpu_run"], rep["accel_run"]):
+        assert run["duration_sec"] == 12.0
+        assert run["text_chars"] > 0
+    # same backend both sides in the test env: outputs must be identical
+    assert rep["compare"]["text_chars_delta"] == 0
+    assert rep["compare"]["parity_ok"] is True
+    assert rep["compare"]["confidence_delta"] == 0.0
