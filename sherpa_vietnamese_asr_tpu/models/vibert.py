@@ -89,7 +89,42 @@ def _layer_norm(p, x, eps):
 
 
 def _linear(p, x, dt):
+    if "weight_q" in p:
+        # int8 weight-only tier: q values (|q| <= 127) are exact in bf16,
+        # and the per-output-channel scale commutes out of the contraction,
+        # so (x @ q) * s == x @ (q * s) with one cast fused by XLA.
+        y = x.astype(dt) @ p["weight_q"].astype(dt)
+        return y * p["weight_scale"].astype(dt) + p["bias"].astype(dt)
     return x.astype(dt) @ p["weight"].astype(dt) + p["bias"].astype(dt)
+
+
+def quantize_vibert_int8(params):
+    """Per-output-channel symmetric int8 weight-only quantization of every
+    linear layer (embeddings, layer norms and biases stay f32) — the TPU
+    answer to the reference's vibert-capu.int8.onnx tier
+    (reference core/gec_model.py:125-145 picks int8 under prefer_int8):
+    4x smaller linear weights in HBM, matmuls run bf16 on the MXU after an
+    XLA-fused int8->bf16 dequant. Returns a new pytree usable everywhere a
+    ViBERT params tree is (GecBert, vibert_forward)."""
+    import numpy as np
+
+    def qlin(p):
+        w = np.asarray(p["weight"], np.float32)
+        s = np.maximum(np.abs(w).max(axis=0), 1e-8) / 127.0
+        q = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+        return {"weight_q": jnp.asarray(q),
+                "weight_scale": jnp.asarray(s.astype(np.float32)),
+                "bias": p["bias"]}
+
+    out = dict(params)
+    out["labels_head"] = qlin(params["labels_head"])
+    out["d_tags_head"] = qlin(params["d_tags_head"])
+    out["layers"] = [
+        {**lp, **{k: qlin(lp[k]) for k in
+                  ("q", "k", "v", "attn_out", "ffn_in", "ffn_out")}}
+        for lp in params["layers"]
+    ]
+    return out
 
 
 def bert_encoder(params, input_ids, attention_mask, token_type_ids,

@@ -12,7 +12,8 @@ import re
 
 
 def build_punctuation_restorer(model_dir=None, confidence=0.3,
-                               case_confidence=0.0, **gec_kw):
+                               case_confidence=0.0, prefer_int8=False,
+                               **gec_kw):
     """Construct a PunctuationRestorer.
 
     With model_dir containing vibert-capu.onnx (+ vocab.txt), loads the real
@@ -20,6 +21,11 @@ def build_punctuation_restorer(model_dir=None, confidence=0.3,
     architecture-true random-weight 12-layer ViBERT with a synthetic
     WordPiece vocab — same shape/latency, placeholder predictions.
     (Reference core/gec_model.py:133-199 loads the same files.)
+
+    prefer_int8=True quantizes the linear weights to the int8 tier
+    (models/vibert.quantize_vibert_int8) — the analogue of the reference's
+    vibert-capu.int8.onnx selection under prefer_int8
+    (core/gec_model.py:125-145).
     """
     import os
 
@@ -61,6 +67,11 @@ def build_punctuation_restorer(model_dir=None, confidence=0.3,
         vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]"]
         for c in "abcdefghijklmnopqrstuvwxyz0123456789":
             vocab += [c, "##" + c]
+    if prefer_int8:
+        from sherpa_vietnamese_asr_tpu.models.vibert import (
+            quantize_vibert_int8,
+        )
+        params = quantize_vibert_int8(params)
     gec = GecBert(params, cfg, WordPieceTokenizer(vocab),
                   confidence=confidence, case_confidence=case_confidence,
                   **gec_kw)

@@ -140,7 +140,8 @@ class TranscriberPipeline:
                 confidence=float(self.config.get("punctuation_confidence",
                                                  0.3)),
                 case_confidence=float(self.config.get("case_confidence",
-                                                      0.0)))
+                                                      0.0)),
+                prefer_int8=bool(self.config.get("prefer_int8", False)))
         self._phase_file = str(file_path) + ".asr_phase"
 
     # -- progress protocol (asr_engine.py:1904-1928) --

@@ -227,3 +227,66 @@ def test_load_gec_vocabulary_matches_reference_format(tmp_path):
     # the loaded sets drive GecBert directly
     gec_labels = ns["labels"]
     assert gec_labels.index("$KEEP") == 0
+
+
+def test_int8_tier_close_to_f32_and_runs():
+    """Weight-only int8 ViBERT (reference ships vibert-capu.int8.onnx,
+    core/gec_model.py:125-145): logits close to f32, linear weights 4x
+    smaller, and the GEC loop runs end-to-end on the quantized tree."""
+    import jax
+    import jax.numpy as jnp
+
+    from sherpa_vietnamese_asr_tpu.models.vibert import (
+        TINY_VIBERT, init_vibert_params, quantize_vibert_int8, vibert_forward,
+    )
+
+    params = init_vibert_params(jax.random.PRNGKey(0), TINY_VIBERT)
+    qparams = quantize_vibert_int8(params)
+    assert qparams["layers"][0]["q"]["weight_q"].dtype == jnp.int8
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 200, (2, 24)).astype(np.int32)
+    att = np.ones((2, 24), np.int32)
+    tt = np.zeros((2, 24), np.int32)
+    offs = np.arange(12, dtype=np.int32)[None].repeat(2, 0)
+    lg, dt = vibert_forward(params, jnp.asarray(ids), jnp.asarray(att),
+                            jnp.asarray(tt), jnp.asarray(offs), TINY_VIBERT)
+    lgq, dtq = vibert_forward(qparams, jnp.asarray(ids), jnp.asarray(att),
+                              jnp.asarray(tt), jnp.asarray(offs), TINY_VIBERT)
+    # int8 weight rounding perturbs logits slightly but not wildly
+    assert float(jnp.abs(lgq - lg).max()) < 0.2
+    assert float(jnp.abs(dtq - dt).max()) < 0.2
+
+    from sherpa_vietnamese_asr_tpu.pipeline.gec import GecBert
+    from sherpa_vietnamese_asr_tpu.utils.wordpiece import WordPieceTokenizer
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]"]
+    for c in "abcdefghijklmnopqrstuvwxyz":
+        vocab += [c, "##" + c]
+    gec = GecBert(qparams, TINY_VIBERT, WordPieceTokenizer(vocab),
+                  mini_batch_size=4)
+    out = gec("xin chao viet nam hom nay troi dep")
+    assert isinstance(out, list) and len(out) == 1 and out[0]
+
+
+def test_build_restorer_prefer_int8():
+    from sherpa_vietnamese_asr_tpu.models.vibert import (
+        TINY_VIBERT,
+    )
+    import jax.numpy as jnp
+
+    from sherpa_vietnamese_asr_tpu.pipeline import punctuation as pc
+
+    # monkeypatch-free: builder falls back to random weights; force tiny by
+    # building GecBert directly is covered above — here just exercise the
+    # prefer_int8 plumbing with the default (full-size) config is too slow,
+    # so patch ViBertConfig via the assets-less fallback path with tiny cfg.
+    import sherpa_vietnamese_asr_tpu.models.vibert as vb
+    orig = vb.ViBertConfig
+    try:
+        vb.ViBertConfig = lambda: TINY_VIBERT
+        r = pc.build_punctuation_restorer(prefer_int8=True,
+                                          mini_batch_size=4)
+        lp = r.gec_model.params["layers"][0]["q"]
+        assert lp["weight_q"].dtype == jnp.int8
+        assert r.restore("xin chao viet nam") is not None
+    finally:
+        vb.ViBertConfig = orig
