@@ -1,5 +1,7 @@
 # Scratch: cProfile the host-side punctuation/alignment stages on synthetic
 # 10-min transcript data (no device work: bypass the ViBERT forward).
+import os as _os, sys as _sys  # repo root on sys.path (scripts live in benchmarks/)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import cProfile
 import pstats
 import random

@@ -1,5 +1,7 @@
 # Round-4 probe: packed-token kernel at batch 64 (old ceiling: 48) + hotword
 # on-chip parity. Run on the TPU chip.
+import os as _os, sys as _sys  # repo root on sys.path (scripts live in benchmarks/)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 import numpy as np
 import jax.numpy as jnp

@@ -3,6 +3,8 @@
 #   python _beamhw.py hw           (TPU: save tokens+aux for oracle compare)
 #   SVT_DISABLE_COMPILE_CACHE=1 python _beamhw.py ref   (CPU oracle, separate proc)
 #   python _beamhw.py perf <B>     (TPU: amortized per-batch decode time)
+import os as _os, sys as _sys  # repo root on sys.path (scripts live in benchmarks/)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 
 import numpy as np

@@ -1,6 +1,8 @@
 # Scratch: bench-path stage profile at serving batch (amortized fori_loop
 # methodology, scalar outputs, minus the ~31 ms dispatch floor).
 # Usage: python _benchprof.py [batch] [dtype]
+import os as _os, sys as _sys  # repo root on sys.path (scripts live in benchmarks/)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import time
 

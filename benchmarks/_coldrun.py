@@ -3,6 +3,8 @@
 #                                     pipeline: ASR + pure diarization +
 #                                     punctuation + quality)
 #        python _coldrun.py senko2   (2-min WAV -> Senko CAM++ diarizer)
+import os as _os, sys as _sys  # repo root on sys.path (scripts live in benchmarks/)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import time
 

@@ -1,5 +1,7 @@
 # Scratch: encoder_embed stage-by-stage amortized timing on chip.
 # Usage: python _embparts.py <n_stages 1..6>
+import os as _os, sys as _sys  # repo root on sys.path (scripts live in benchmarks/)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import time
 import dataclasses

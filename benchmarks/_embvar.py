@@ -5,6 +5,8 @@
 # Variants: 0 = current (NHWC dw conv + 4-D MLP)
 #           1 = 2-D reshaped MLP (dw conv unchanged)
 #           2 = dw as 49 shifted adds on [B,T,F*C] + 2-D MLP
+import os as _os, sys as _sys  # repo root on sys.path (scripts live in benchmarks/)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import dataclasses
 import sys
 import time

@@ -1,5 +1,7 @@
 # Scratch: amortized encoder timing on chip (round-2 methodology:
 # N reps in one fori_loop, input perturbed per iteration, minus 31 ms).
+import os as _os, sys as _sys  # repo root on sys.path (scripts live in benchmarks/)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import time
 

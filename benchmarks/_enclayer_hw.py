@@ -1,6 +1,8 @@
 # Scratch: on-chip value check for ops/encoder_layer.py megakernel.
 # Usage: python /root/repo/_enclayer_hw.py hw   (axon TPU, saves npz)
 #        SVT_DISABLE_COMPILE_CACHE=1 python /root/repo/_enclayer_hw.py ref
+import os as _os, sys as _sys  # repo root on sys.path (scripts live in benchmarks/)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 
 import numpy as np

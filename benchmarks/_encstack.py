@@ -1,5 +1,7 @@
 # Scratch: per-stack encoder-layer timing, XLA path vs megakernel.
 # Usage: python _encstack.py <stack_idx> [xla|mk|mks]   (mks = streamed)
+import os as _os, sys as _sys  # repo root on sys.path (scripts live in benchmarks/)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import time
 import dataclasses

@@ -5,6 +5,8 @@
 #   python _fp32hw.py hw_xla      (TPU: highest, NO Pallas kernels — isolates
 #                                  matmul-emulation rounding from kernel deltas)
 #   SVT_DISABLE_COMPILE_CACHE=1 python _fp32hw.py ref   (forced-CPU compare)
+import os as _os, sys as _sys  # repo root on sys.path (scripts live in benchmarks/)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 
 import numpy as np

@@ -5,6 +5,8 @@
 #                                where the one-deep in-flight step overlaps)
 #   python _micbench.py tput     back-to-back: no capture gap, measures
 #                                sustained per-step throughput instead
+import os as _os, sys as _sys  # repo root on sys.path (scripts live in benchmarks/)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import time
 

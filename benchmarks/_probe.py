@@ -1,4 +1,6 @@
 # Scratch: probe TPU tunnel health, retrying until it responds.
+import os as _os, sys as _sys  # repo root on sys.path (scripts live in benchmarks/)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import time
 

@@ -1,6 +1,8 @@
 # Scratch: ROVER dual-model (30M + 68M) decode throughput, steady state.
 # Reference headline: 1 h audio ROVER = 169 s on 6C/12T CPU => ~21x RT
 # (SURVEY.md section 6, core/asr_engine.py:2253).
+import os as _os, sys as _sys  # repo root on sys.path (scripts live in benchmarks/)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 import sys
 import time

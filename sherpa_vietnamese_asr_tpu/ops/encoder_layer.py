@@ -348,6 +348,19 @@ def _layer_pallas(x, lens, poslin, flat, heads, qd, pd, vd, streamed=False,
             pltpu.VMEM((t_pad, vcols), jnp.bfloat16),        # v_s
             pltpu.VMEM((t_pad + 2 * halo, d), jnp.bfloat16),  # c_s
         ]
+    # Raise the scoped-VMEM ceiling past the 16 MB XLA default when the
+    # actual allocation plan needs it (round 4; v5e has 128 MB physical
+    # VMEM). This is what unlocks the kernel at stack0 sizes — the
+    # [H*T_pad, T_pad] weights scratch alone is 22 MB at t_pad=1664.
+    def _nbytes(s):
+        try:  # skip non-buffer scratch (DMA semaphores)
+            return int(np.prod(s.shape)) * jnp.dtype(s.dtype).itemsize
+        except TypeError:
+            return 0
+
+    scratch_bytes = sum(_nbytes(s) for s in scratch)
+    weight_bytes = 2 * sum(int(np.prod(w.shape)) for w in flat)
+    est = int(1.35 * (scratch_bytes + weight_bytes + 8 * t_pad * d * 4))
     out = pl.pallas_call(
         kernel,
         grid=(bsz,),
@@ -355,6 +368,9 @@ def _layer_pallas(x, lens, poslin, flat, heads, qd, pd, vd, streamed=False,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(100 * 1024 * 1024,
+                                 max(16 * 1024 * 1024, est))),
         scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * t_pad

@@ -1,11 +1,15 @@
-# Meeting summarizer: LLM backends (Ollama HTTP / llama.cpp) with an
+# Meeting summarizer: LLM backends (Ollama HTTP / in-process GGUF) with an
 # offline extractive fallback.
 #
 # Behavioral port of reference web_service/summarizer.py: transcript chunking
 # for long meetings, JSON-schema-validated summary output, backend
-# availability probing (:310-474). Neither Ollama nor llama-cpp-python ship
-# in this environment, so both backends are gated behind availability checks
-# and a deterministic extractive summarizer keeps the API functional offline.
+# availability probing (:310-474). The reference's llama-cpp-python
+# in-process path is answered natively: models/gguf.py parses the GGUF
+# checkpoint and models/llama.py runs it as a jitted JAX forward on the
+# accelerator ("local" backend, gated on a *.gguf file being present —
+# SVT_SUMMARIZER_GGUF or <models_dir>/summarizer/*.gguf). Ollama HTTP stays
+# gated on reachability, and a deterministic extractive summarizer keeps the
+# API functional offline.
 
 from __future__ import annotations
 
@@ -67,6 +71,50 @@ def _ollama_generate(prompt, model="gemma2", base_url=OLLAMA_URL,
         return json.loads(resp.read().decode()).get("response", "")
 
 
+def local_gguf_path():
+    """Path of the in-process summarizer checkpoint, or None.
+
+    SVT_SUMMARIZER_GGUF wins; otherwise the first *.gguf under
+    <models_dir>/summarizer (reference keeps its GGUF next to the models,
+    web_service/summarizer.py:310-364)."""
+    import glob
+    import os
+
+    env = os.environ.get("SVT_SUMMARIZER_GGUF")
+    if env:
+        return env if os.path.exists(env) else None
+    from sherpa_vietnamese_asr_tpu.models import assets
+
+    hits = sorted(glob.glob(os.path.join(assets.models_dir(), "summarizer",
+                                         "*.gguf")))
+    return hits[0] if hits else None
+
+
+_LOCAL_LLM = {}
+
+
+def _local_llm(path):
+    """Load-once cache of (params, cfg, tokenizer, meta) for a GGUF path."""
+    if path not in _LOCAL_LLM:
+        from sherpa_vietnamese_asr_tpu.models.llama import load_gguf_llama
+
+        _LOCAL_LLM[path] = load_gguf_llama(path)
+    return _LOCAL_LLM[path]
+
+
+def _local_generate(prompt, path, max_new_tokens=512):
+    """In-process GGUF generation (models/llama.py, greedy)."""
+    from sherpa_vietnamese_asr_tpu.models.llama import detokenize, generate
+
+    params, cfg, tokenizer, meta = _local_llm(path)
+    bos = meta.get("tokenizer.ggml.bos_token_id")
+    eos = meta.get("tokenizer.ggml.eos_token_id")
+    ids = ([int(bos)] if bos is not None else []) + tokenizer.encode(prompt)
+    out = generate(params, cfg, ids, max_new_tokens=max_new_tokens,
+                   eos_id=int(eos) if eos is not None else None)
+    return detokenize(tokenizer, out)
+
+
 def extractive_summary(text, max_points=5):
     """Deterministic offline fallback: lead + highest-information sentences
     by normalized term frequency."""
@@ -97,21 +145,27 @@ def extractive_summary(text, max_points=5):
 
 class Summarizer:
     def __init__(self, backend="auto", model="gemma2",
-                 ollama_url=OLLAMA_URL):
+                 ollama_url=OLLAMA_URL, gguf_path=None):
         self.model = model
         self.ollama_url = ollama_url
+        self.gguf_path = gguf_path or local_gguf_path()
         if backend == "auto":
-            backend = "ollama" if ollama_available(ollama_url) \
-                else "extractive"
+            # Priority mirrors the reference (web_service/summarizer.py:
+            # 310-474): in-process model first, HTTP daemon second,
+            # deterministic extractive fallback always available.
+            backend = ("local" if self.gguf_path
+                       else "ollama" if ollama_available(ollama_url)
+                       else "extractive")
         self.backend = backend
 
     def status(self):
         return {"backend": self.backend,
-                "ollama_available": ollama_available(self.ollama_url)}
+                "ollama_available": ollama_available(self.ollama_url),
+                "local_gguf": self.gguf_path}
 
     def summarize(self, transcript):
         """Transcript text -> validated summary dict."""
-        if self.backend == "ollama":
+        if self.backend in ("ollama", "local"):
             try:
                 return self._summarize_llm(transcript)
             except Exception:
@@ -126,7 +180,10 @@ class Summarizer:
                 "Summarize this Vietnamese meeting transcript chunk as JSON "
                 'with keys "title", "summary", "key_points" (list), '
                 '"action_items" (list):\n\n' + chunk)
-            raw = _ollama_generate(prompt, self.model, self.ollama_url)
+            if self.backend == "local":
+                raw = _local_generate(prompt, self.gguf_path)
+            else:
+                raw = _ollama_generate(prompt, self.model, self.ollama_url)
             try:
                 data = json.loads(raw)
             except ValueError:
