@@ -87,7 +87,10 @@ TINY_ZIPFORMER = ZipformerConfig(
 )
 
 
-@functools.partial(jax.jit, static_argnames=("zcfg", "rcfg"))
+from sherpa_vietnamese_asr_tpu.utils.aot_cache import aot_jit
+
+
+@aot_jit("init_asr_params", static_argnames=("zcfg", "rcfg"))
 def _init_all_params(key, zcfg, rcfg):
     """All three param trees in ONE jitted program.
 

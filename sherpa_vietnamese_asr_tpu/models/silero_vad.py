@@ -135,7 +135,10 @@ def vad_step(params, chunk, context, state,
     return probs[0], chunk[-cfg.context:], new_state
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "quantized"))
+from sherpa_vietnamese_asr_tpu.utils.aot_cache import aot_jit
+
+
+@aot_jit("vad_block", static_argnames=("cfg", "quantized"))
 def _vad_block_jit(params, block, prev_tail, state, cfg, quantized):
     """One fixed-size block of windows with carried context + LSTM state.
 

@@ -297,21 +297,30 @@ class BatchedChunkDecoder:
                     audio_dev, NamedSharding(self.mesh, P("data", None)))
                 n_frames = jax.device_put(
                     n_frames, NamedSharding(self.mesh, P("data")))
-            feats = fbank_batch_jit(audio_dev,
-                                    use_pallas_fbank=self.use_pallas_fbank,
-                                    quantized=quantized)
+            # AOT executable cache: warm process starts skip the ~seconds of
+            # tracing + lowering these two programs cost (utils/aot_cache.py;
+            # sharded runs fall through to plain jit inside call()).
+            from sherpa_vietnamese_asr_tpu.utils import aot_cache
+            feats = aot_cache.call(
+                "fbank_batch", fbank_batch_jit, (audio_dev,),
+                static={"use_pallas_fbank": self.use_pallas_fbank,
+                        "quantized": quantized})
             launched = []
             for model in models:
-                launched.append(decode_feats_jit(
-                    feats, n_frames,
-                    model.enc_params, model.dec_params, model.joi_params,
-                    model.zip_cfg, model.rnnt_cfg, model.beam_size,
-                    hw_tables=model.hotword_tables,
-                    with_hotwords=model.hotword_tables is not None,
-                    use_pallas_beam=self.use_pallas_beam,
-                    mesh=self.mesh,
-                    pallas_interpret=self.pallas_interpret,
-                ))
+                launched.append(aot_cache.call(
+                    "decode_feats", decode_feats_jit,
+                    (feats, n_frames, model.enc_params, model.dec_params,
+                     model.joi_params),
+                    kwargs={"hw_tables": model.hotword_tables},
+                    static={
+                        "zip_cfg": model.zip_cfg,
+                        "rnnt_cfg": model.rnnt_cfg,
+                        "beam_size": model.beam_size,
+                        "with_hotwords": model.hotword_tables is not None,
+                        "use_pallas_beam": self.use_pallas_beam,
+                        "mesh": self.mesh,
+                        "pallas_interpret": self.pallas_interpret,
+                    }))
             return group, launched
 
         def collect(group, launched):

@@ -293,14 +293,17 @@ def vbx_cluster(fea, plda_psi, ahc_labels, fa, fb, max_iters=20):
 # Device stages (jitted)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+from sherpa_vietnamese_asr_tpu.utils.aot_cache import aot_jit
+
+
+@aot_jit("diar_segment_batch", static_argnames=("cfg",))
 def _segment_batch_jit(params, windows, cfg):
     from sherpa_vietnamese_asr_tpu.models.pyannet import pyannet_forward
 
     return pyannet_forward(params, windows, cfg)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@aot_jit("diar_embed_batch", static_argnames=("cfg",))
 def _embed_batch_jit(params, fbank_windows, weights, cfg):
     """fbank_windows [B, 998, 80] (already CMVN), weights [B, S, T'] ->
     [B, S, embed_dim]."""
@@ -658,10 +661,17 @@ class PureDiarizer:
         for gi in range(0, len(block_starts), group):
             bs = block_starts[gi: gi + group]
             if self.mesh is None:
-                am, emb, valid = _superblock_jit(
-                    self.seg_params, self.emb_params,
-                    jnp.asarray(build_block(bs[0])), self.seg_cfg,
-                    self.emb_cfg, w, min_seg_frames, quantized)
+                # AOT executable cache: the fused superblock is the single
+                # most expensive program to TRACE (~15 s/process, round-3
+                # measurement) — warm starts load its executable directly.
+                from sherpa_vietnamese_asr_tpu.utils import aot_cache
+                am, emb, valid = aot_cache.call(
+                    "diar_superblock", _superblock_jit,
+                    (self.seg_params, self.emb_params,
+                     jnp.asarray(build_block(bs[0]))),
+                    static={"seg_cfg": self.seg_cfg, "emb_cfg": self.emb_cfg,
+                            "n_windows": w, "min_seg_frames": min_seg_frames,
+                            "quantized": quantized})
                 outs = [(bs[0], np.asarray(am), np.asarray(emb),
                          np.asarray(valid))]
             else:
@@ -867,8 +877,18 @@ class PureDiarizer:
 
         self.speaker_centroids = centroids.copy()
 
-        flat = np.nan_to_num(all_embeddings.reshape(-1, dim), nan=0.0)
-        dist = cdist(flat, centroids, metric="cosine")
+        flat = all_embeddings.reshape(-1, dim)
+        # Invalid chunk-speakers carry NaN embeddings (below min_seg_frames
+        # in the superblock path); zero-filling them made cosine cdist emit
+        # NaN (0/0 norm) which crashed linear_sum_assignment below. Pin every
+        # non-finite/zero-norm row to the max cosine distance instead — the
+        # slot competes as "least similar to every centroid", and inactive
+        # slots are overwritten by the `const` mask right after anyway.
+        invalid = ~np.isfinite(flat).all(axis=1)
+        dist = cdist(np.nan_to_num(flat, nan=0.0), centroids,
+                     metric="cosine")
+        dist[invalid] = 2.0
+        np.nan_to_num(dist, nan=2.0, copy=False)
         soft = (2.0 - dist).reshape(num_chunks, num_speakers, -1)
         const = soft.min() - 1.0
         soft[segmentations.sum(axis=1) == 0] = const

@@ -29,7 +29,10 @@ import jax
 import numpy as np
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+from sherpa_vietnamese_asr_tpu.utils.aot_cache import aot_jit
+
+
+@aot_jit("vibert_forward", static_argnames=("cfg",))
 def _vibert_forward_jit(params, input_ids, attention_mask, token_type_ids,
                         input_offsets, cfg):
     from sherpa_vietnamese_asr_tpu.models.vibert import vibert_forward
@@ -38,9 +41,8 @@ def _vibert_forward_jit(params, input_ids, attention_mask, token_type_ids,
                           input_offsets, cfg)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("cfg", "t", "w", "noop_index",
-                                    "incorr_index"))
+@aot_jit("vibert_decode", static_argnames=("cfg", "t", "w", "noop_index",
+                                           "incorr_index"))
 def _vibert_decode_jit(params, packed, hints, bias, nud_p, nud_c, nud_cneg,
                        cfg, t, w, noop_index, incorr_index):
     """ViBERT forward + the whole of _convert ON DEVICE (round 4).

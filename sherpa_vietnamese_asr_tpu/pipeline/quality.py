@@ -23,7 +23,10 @@ _P_SIG = np.poly1d([-0.08397278, 1.22083953, 0.0052439])
 _P_BAK = np.poly1d([-0.13166888, 1.60915514, -0.39604546])
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+from sherpa_vietnamese_asr_tpu.utils.aot_cache import aot_jit
+
+
+@aot_jit("dnsmos", static_argnames=("cfg",))
 def _dnsmos_jit(params, batch, cfg):
     from sherpa_vietnamese_asr_tpu.models.dnsmos import dnsmos_forward
 

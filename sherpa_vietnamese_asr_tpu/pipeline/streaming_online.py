@@ -162,7 +162,17 @@ def _make_fused_stream_step(model, scfg):
         new_ctx = jnp.where(mask[:, None], new_ctx, ctx)
         return new_state, new_ctx, toks, counts
 
-    return jax.jit(fused)
+    jitted = jax.jit(fused)
+    # Route through the AOT executable cache (utils/aot_cache.py): a fresh
+    # process skips tracing this step on warm starts. The closed-over
+    # configs shape the program, so they ride the cache key.
+    from sherpa_vietnamese_asr_tpu.utils import aot_cache
+    extra = repr((model.zip_cfg, model.rnnt_cfg, scfg))
+
+    def step(*args):
+        return aot_cache.call("stream_step", jitted, args, key_extra=extra)
+
+    return step
 
 
 class CachedStreamingRecognizer:

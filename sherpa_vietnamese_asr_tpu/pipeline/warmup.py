@@ -147,6 +147,15 @@ def warmup_programs(model, models_dir=None, stages=STAGES, log=print,
             futures = [ex.submit(fn) for fn in pending]
             for f in futures:
                 f.result()
+    # Warmup is the install-time priming step: wait for the AOT executable
+    # stores that normal (one-shot) runs intentionally leave in background
+    # daemon threads (utils/aot_cache.py _store_async).
+    from sherpa_vietnamese_asr_tpu.utils import aot_cache
+    t0 = time.time()
+    aot_cache.flush()
+    dt = time.time() - t0
+    if dt > 1.0:
+        log(f"[warmup] aot-store flush: {dt:.0f}s")
     return timings
 
 

@@ -218,3 +218,41 @@ def test_fused_superblock_matches_classic(rng):
     cos_q = (cq * cc2).sum(-1) / (np.linalg.norm(cq, axis=-1)
                                   * np.linalg.norm(cc2, axis=-1) + 1e-9)
     assert cos_q.min() > 0.999
+
+
+def test_cluster_assignment_with_nan_embedding_rows(rng):
+    """An ACTIVE chunk-speaker can still carry a NaN embedding (below the
+    min_seg_frames validity floor in the superblock path). The soft-cluster
+    assignment must pin such rows to max cosine distance instead of feeding
+    NaN into linear_sum_assignment ("matrix contains invalid numeric
+    entries" — round-4 flake in the background-overlap pipeline test)."""
+    import jax
+
+    from sherpa_vietnamese_asr_tpu.models.pyannet import (
+        PyanNetConfig, init_pyannet_params,
+    )
+    from sherpa_vietnamese_asr_tpu.models.resnet_speaker import TINY_RESNET
+    from sherpa_vietnamese_asr_tpu.pipeline.diarization_pure import (
+        NUM_SEG_FRAMES, PureDiarizer,
+    )
+
+    seg_cfg = PyanNetConfig(sinc_filters=16, conv_channels=12,
+                            lstm_hidden=16, lstm_layers=1, linear_dim=16)
+    diar = PureDiarizer(
+        seg_params=init_pyannet_params(jax.random.PRNGKey(3), seg_cfg),
+        seg_cfg=seg_cfg, emb_cfg=TINY_RESNET)
+
+    num_chunks, num_speakers = 6, 3
+    dim = TINY_RESNET.embed_dim
+    emb = rng.standard_normal((num_chunks, num_speakers, dim)) \
+        .astype(np.float32)
+    # Two slots are ACTIVE in the segmentation but have NaN embeddings.
+    emb[1, 2] = np.nan
+    emb[4, 0] = np.nan
+    seg = np.zeros((num_chunks, NUM_SEG_FRAMES, num_speakers), np.float32)
+    seg[:, :, :] = 1.0  # every slot active -> nothing hidden by const mask
+    train_mask = ~np.isnan(emb[..., 0])
+
+    hard = diar._cluster(emb, train_mask, seg)
+    assert hard.shape == (num_chunks, num_speakers)
+    assert (hard >= -2).all()
