@@ -147,3 +147,128 @@ def test_summarizer_local_backend(tiny_gguf, monkeypatch):
     # random weights emit non-JSON -> schema-validated extractive fallback
     assert set(out) == {"title", "summary", "key_points", "action_items"}
     assert sm.validate_summary(out)
+
+
+# --- k-quant blocks (Q4_K / Q5_K / Q6_K) -----------------------------------
+# Real Gemma/llama GGUF distributions ship Q4_K_M / Q6_K; the reference's
+# llama.cpp backend reads them all (reference web_service/summarizer.py:365-474).
+
+
+def _pack_q6k_block(d, sc, q):
+    """Hand-pack ONE Q6_K super-block per the llama.cpp struct layout
+    (ql 128B | qh 64B | sc 16x i8 | d f16); q: 256 values in [0, 63]."""
+    q = np.asarray(q, np.uint8).reshape(2, 128)
+    ql = np.empty((2, 64), np.uint8)
+    ql[:, 0:32] = (q[:, 0:32] & 0xF) | ((q[:, 64:96] & 0xF) << 4)
+    ql[:, 32:64] = (q[:, 32:64] & 0xF) | ((q[:, 96:128] & 0xF) << 4)
+    qh = ((q[:, 0:32] >> 4) | ((q[:, 32:64] >> 4) << 2)
+          | ((q[:, 64:96] >> 4) << 4) | ((q[:, 96:128] >> 4) << 6))
+    return (ql.tobytes() + qh.astype(np.uint8).tobytes()
+            + np.asarray(sc, np.int8).tobytes()
+            + np.float16(d).tobytes())
+
+
+def test_q6k_dequant_hand_built_block():
+    from sherpa_vietnamese_asr_tpu.models import gguf
+
+    rng = np.random.default_rng(0)
+    q = rng.integers(0, 64, 256).astype(np.uint8)
+    sc = rng.integers(-20, 21, 16).astype(np.int8)
+    d = 0.25
+    raw = _pack_q6k_block(d, sc, q)
+    assert len(raw) == 210
+    got = gguf._dequant(raw, gguf.GGML_Q6_K, [256])
+    want = d * sc.astype(np.float32)[np.arange(256) // 16] * (
+        q.astype(np.float32) - 32)
+    np.testing.assert_allclose(got, want, rtol=1e-3)
+
+
+def test_q4k_dequant_hand_built_block():
+    from sherpa_vietnamese_asr_tpu.models import gguf
+
+    rng = np.random.default_rng(1)
+    q = rng.integers(0, 16, 256).astype(np.uint8)
+    sc = rng.integers(0, 64, 8)
+    mn = rng.integers(0, 64, 8)
+    d, dmin = 0.125, 0.0625
+    # struct: d f16 | dmin f16 | scales 12B | qs 128B
+    scales = gguf._pack_scale_min_k4(sc[None], mn[None])[0]
+    qg = q.reshape(4, 2, 32)
+    qs = (qg[:, 0] | (qg[:, 1] << 4)).reshape(128).astype(np.uint8)
+    raw = (np.float16(d).tobytes() + np.float16(dmin).tobytes()
+           + scales.tobytes() + qs.tobytes())
+    assert len(raw) == 144
+    got = gguf._dequant(raw, gguf.GGML_Q4_K, [256])
+    pair = np.arange(256) // 32  # 32-group index == scale pair index
+    want = (d * sc[pair] * q.astype(np.float32) - dmin * mn[pair])
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-6)
+
+
+def test_q5k_dequant_hand_built_block():
+    from sherpa_vietnamese_asr_tpu.models import gguf
+
+    rng = np.random.default_rng(2)
+    q = rng.integers(0, 32, 256).astype(np.uint8)
+    sc = rng.integers(0, 64, 8)
+    mn = rng.integers(0, 64, 8)
+    d, dmin = 0.5, 0.25
+    scales = gguf._pack_scale_min_k4(sc[None], mn[None])[0]
+    qg = q.reshape(8, 32)  # 32-group g uses qh bit g
+    qs = ((qg[0::2] & 0xF) | ((qg[1::2] & 0xF) << 4)).reshape(128)
+    qh = np.zeros(32, np.uint8)
+    for g in range(8):
+        qh |= ((qg[g] >> 4) & 1).astype(np.uint8) << g
+    raw = (np.float16(d).tobytes() + np.float16(dmin).tobytes()
+           + scales.tobytes() + qh.tobytes()
+           + qs.astype(np.uint8).tobytes())
+    assert len(raw) == 176
+    got = gguf._dequant(raw, gguf.GGML_Q5_K, [256])
+    pair = np.arange(256) // 32
+    want = (d * sc[pair] * q.astype(np.float32) - dmin * mn[pair])
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-6)
+
+
+@pytest.mark.parametrize("qtype", ["q4k", "q6k"])
+def test_kquant_encode_decode_roundtrip_error_bound(qtype):
+    from sherpa_vietnamese_asr_tpu.models import gguf
+
+    rng = np.random.default_rng(3)
+    w = (rng.standard_normal((8, 256)) * 0.1).astype(np.float32)
+    if qtype == "q4k":
+        raw, t = gguf.quantize_q4_k(w), gguf.GGML_Q4_K
+        tol = 0.03  # 4-bit affine: |err| <= ~scale/2 ~= group range/30
+    else:
+        raw, t = gguf.quantize_q6_k(w), gguf.GGML_Q6_K
+        tol = 0.008
+    got = gguf._dequant(raw, t, [256, 8])  # GGUF dims are innermost-first
+    assert got.shape == (8, 256)
+    assert float(np.abs(got - w).max()) < tol
+
+
+def test_load_gguf_llama_with_kquant_tensors(tiny_gguf, tmp_path):
+    """A GGUF whose big matmuls are Q4_K/Q6_K (the real Gemma layout) loads
+    and matches the F32-source forward within quantization error."""
+    import jax.numpy as jnp
+
+    from sherpa_vietnamese_asr_tpu.models import gguf
+    from sherpa_vietnamese_asr_tpu.models.llama import (
+        llama_forward, load_gguf_llama,
+    )
+
+    path, params, cfg = tiny_gguf
+    data = gguf.read_gguf(path)
+    qt = {}
+    for name, arr in data["tensors"].items():
+        if name.endswith((".ffn_up.weight", ".ffn_gate.weight",
+                          ".ffn_down.weight")) and arr.size % 256 == 0:
+            qt[name] = gguf.GGML_Q4_K
+        elif name.endswith(".attn_output.weight") and arr.size % 256 == 0:
+            qt[name] = gguf.GGML_Q6_K
+    assert qt, "tiny llama should have quantizable matmuls"
+    p2 = str(tmp_path / "tiny-llama-q4km.gguf")
+    gguf.write_gguf(p2, data["metadata"], data["tensors"], quant_types=qt)
+    lparams, lcfg, _, _ = load_gguf_llama(p2)
+    ids = jnp.asarray(np.arange(1, 9, dtype=np.int32))
+    ref = llama_forward(params, ids, cfg)
+    got = llama_forward(lparams, ids, lcfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0.15)
