@@ -78,6 +78,15 @@ CREATE TABLE IF NOT EXISTS meetings (
     created_at TEXT DEFAULT (datetime('now')),
     updated_at TEXT DEFAULT (datetime('now'))
 );
+CREATE TABLE IF NOT EXISTS edit_history (
+    id INTEGER PRIMARY KEY AUTOINCREMENT,
+    file_id INTEGER NOT NULL,
+    op TEXT NOT NULL,
+    asr_result_json TEXT NULL,
+    speaker_names_json TEXT NULL,
+    created_at TEXT DEFAULT (datetime('now'))
+);
+CREATE INDEX IF NOT EXISTS idx_edit_history_file ON edit_history(file_id);
 CREATE INDEX IF NOT EXISTS idx_sessions_anonymous
     ON sessions(is_anonymous, expired_at);
 CREATE INDEX IF NOT EXISTS idx_files_session ON files(session_id);
@@ -258,6 +267,42 @@ class Database:
 
     def delete_file(self, file_id):
         self._exec("DELETE FROM files WHERE id = ?", (file_id,))
+        self._exec("DELETE FROM edit_history WHERE file_id = ?", (file_id,))
+
+    # -- transcript edit history (undo stack) --------------------------------
+    # The reference desktop editor keeps an in-memory undo stack for speaker
+    # split/merge/rename edits (reference tab_file.py:285-360); the web
+    # service's equivalent is a persisted per-file stack so undo survives
+    # reconnects. Capped at EDIT_HISTORY_DEPTH like a desktop undo buffer.
+    EDIT_HISTORY_DEPTH = 50
+
+    def push_edit_history(self, file_id, op, asr_result_json,
+                          speaker_names_json):
+        """Snapshot the PRE-edit state so undo restores it."""
+        self._exec(
+            "INSERT INTO edit_history (file_id, op, asr_result_json, "
+            "speaker_names_json) VALUES (?, ?, ?, ?)",
+            (file_id, op, asr_result_json, speaker_names_json))
+        self._exec(
+            "DELETE FROM edit_history WHERE file_id = ? AND id NOT IN "
+            "(SELECT id FROM edit_history WHERE file_id = ? "
+            " ORDER BY id DESC LIMIT ?)",
+            (file_id, file_id, self.EDIT_HISTORY_DEPTH))
+
+    def pop_edit_history(self, file_id):
+        """Remove and return the most recent pre-edit snapshot, or None."""
+        row = self._exec(
+            "SELECT * FROM edit_history WHERE file_id = ? "
+            "ORDER BY id DESC LIMIT 1", (file_id,), fetch="one")
+        if row:
+            self._exec("DELETE FROM edit_history WHERE id = ?", (row["id"],))
+        return row
+
+    def get_edit_history(self, file_id):
+        """Newest-first [{id, op, created_at}] (snapshots omitted: large)."""
+        return self._exec(
+            "SELECT id, op, created_at FROM edit_history WHERE file_id = ? "
+            "ORDER BY id DESC", (file_id,), fetch="all")
 
     # -- queue (strict FIFO by priority = insertion time) -------------------------
     def add_to_queue(self, file_id, session_id, config):

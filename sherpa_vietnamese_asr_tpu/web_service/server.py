@@ -730,6 +730,9 @@ class Handler(BaseHTTPRequestHandler):
         names = body.get("speaker_names", {})
         if not isinstance(names, dict):
             raise ApiError(400, "speaker_names must be a mapping")
+        self.state.db.push_edit_history(
+            file_id, "rename-speakers", rec.get("asr_result_json"),
+            rec.get("speaker_names_json"))
         self.state.db.update_file(
             file_id, speaker_names_json=json.dumps(names,
                                                    ensure_ascii=False))
@@ -796,6 +799,9 @@ class Handler(BaseHTTPRequestHandler):
                 })
         data["segments"] = segments
         data["speaker_names"] = speaker_names
+        self.state.db.push_edit_history(
+            file_id, "split-speaker", rec.get("asr_result_json"),
+            rec.get("speaker_names_json"))
         self.state.db.update_file(
             file_id,
             asr_result_json=json.dumps(data, ensure_ascii=False),
@@ -867,9 +873,42 @@ class Handler(BaseHTTPRequestHandler):
                     if actual < len(segments) else 0,
                 })
         data["segments"] = segments
+        self.state.db.push_edit_history(
+            file_id, "merge-speaker", rec.get("asr_result_json"),
+            rec.get("speaker_names_json"))
         self.state.db.update_file(
             file_id, asr_result_json=json.dumps(data, ensure_ascii=False))
         self._send_json({"success": True, "result": data})
+
+    def ep_undo_edit(self, file_id):
+        """Undo the most recent transcript edit (split/merge/rename/save):
+        restores the pre-edit snapshot from the persisted per-file undo
+        stack — the web analogue of the reference desktop editor's undo
+        (reference tab_file.py:285-360)."""
+        file_id = int(file_id)
+        rec = self.state.db.get_file(file_id)
+        self._check_file_access(rec)
+        snap = self.state.db.pop_edit_history(file_id)
+        if not snap:
+            raise ApiError(409, "Nothing to undo")
+        self.state.db.update_file(
+            file_id,
+            asr_result_json=snap["asr_result_json"],
+            speaker_names_json=snap["speaker_names_json"])
+        data = (json.loads(snap["asr_result_json"])
+                if snap["asr_result_json"] else None)
+        self._send_json({
+            "success": True, "undone_op": snap["op"], "result": data,
+            "speaker_names": json.loads(snap["speaker_names_json"] or "{}"),
+            "remaining": len(self.state.db.get_edit_history(file_id))})
+
+    def ep_edit_history(self, file_id):
+        """Newest-first list of undoable edits for a file."""
+        file_id = int(file_id)
+        rec = self.state.db.get_file(file_id)
+        self._check_file_access(rec)
+        self._send_json(
+            {"history": self.state.db.get_edit_history(file_id)})
 
     def ep_user_files(self):
         user = self._require_auth()
@@ -1295,6 +1334,9 @@ class Handler(BaseHTTPRequestHandler):
             raise ApiError(400, "asr_result missing 'segments'")
         result_json = json.dumps(sanitize_asr_json(asr_data),
                                  ensure_ascii=False)
+        self.state.db.push_edit_history(
+            file_id, "save-result", rec.get("asr_result_json"),
+            rec.get("speaker_names_json"))
         self.state.db.update_file(file_id, asr_result_json=result_json)
         try:
             meeting = self.state.db.get_meeting_by_file_id(file_id)
@@ -1653,6 +1695,8 @@ ROUTES = [
     (r"/api/files/(\d+)/speakers", "POST", Handler.ep_rename_speakers),
     (r"/api/files/(\d+)/split-speaker", "POST", Handler.ep_split_speaker),
     (r"/api/files/(\d+)/merge-speaker", "POST", Handler.ep_merge_speaker),
+    (r"/api/files/(\d+)/undo-edit", "POST", Handler.ep_undo_edit),
+    (r"/api/files/(\d+)/edit-history", "GET", Handler.ep_edit_history),
     (r"/api/files/(\d+)/summarize", "POST", Handler.ep_summarize),
     (r"/api/files/(\d+)/summary", "GET", Handler.ep_get_summary),
     (r"/api/summarizer/status", "GET", Handler.ep_summarizer_status),

@@ -100,3 +100,75 @@ def test_merge_speaker_up_full_block(service):
     # only one speaker separator remains
     assert sum(1 for s in segs if s["type"] == "speaker") == 1
     assert segs[0]["speaker"] == "Người nói 1"
+
+
+def test_undo_edit_restores_pre_split_state(service):
+    """Undo stack (reference tab_file.py:285-360 desktop undo, persisted)."""
+    base, state = service
+    _, s = _req(base, "/api/session", "POST")
+    sid = s["session_id"]
+    fid = _seed_file(state, sid)
+    hdr = {"X-Session-Id": sid}
+    before = json.loads(state.db.get_file(fid)["asr_result_json"])
+
+    _req(base, f"/api/files/{fid}/split-speaker", "POST",
+         body={"seg_index": 1, "new_speaker": "Alice"}, headers=hdr)
+    st, hist = _req(base, f"/api/files/{fid}/edit-history", headers=hdr)
+    assert st == 200 and len(hist["history"]) == 1
+    assert hist["history"][0]["op"] == "split-speaker"
+
+    st, res = _req(base, f"/api/files/{fid}/undo-edit", "POST", headers=hdr)
+    assert st == 200 and res["undone_op"] == "split-speaker"
+    assert res["remaining"] == 0
+    after = json.loads(state.db.get_file(fid)["asr_result_json"])
+    assert after == before
+
+    # empty stack -> 409
+    st, _ = _req(base, f"/api/files/{fid}/undo-edit", "POST", headers=hdr)
+    assert st == 409
+
+
+def test_undo_edit_stacks_lifo_across_ops(service):
+    base, state = service
+    _, s = _req(base, "/api/session", "POST")
+    sid = s["session_id"]
+    fid = _seed_file(state, sid)
+    hdr = {"X-Session-Id": sid}
+
+    _req(base, f"/api/files/{fid}/split-speaker", "POST",
+         body={"seg_index": 1, "new_speaker": "Alice"}, headers=hdr)
+    mid = state.db.get_file(fid)["asr_result_json"]
+    _req(base, f"/api/files/{fid}/merge-speaker", "POST",
+         body={"block_index": 1, "direction": "up"}, headers=hdr)
+    _, hist = _req(base, f"/api/files/{fid}/edit-history", headers=hdr)
+    assert [h["op"] for h in hist["history"]] == ["merge-speaker",
+                                                  "split-speaker"]
+    # first undo -> back to post-split state
+    _, res = _req(base, f"/api/files/{fid}/undo-edit", "POST", headers=hdr)
+    assert res["undone_op"] == "merge-speaker"
+    assert state.db.get_file(fid)["asr_result_json"] == mid
+    # second undo -> original
+    _, res = _req(base, f"/api/files/{fid}/undo-edit", "POST", headers=hdr)
+    assert res["undone_op"] == "split-speaker"
+
+
+def test_edit_history_depth_capped(service):
+    base, state = service
+    _, s = _req(base, "/api/session", "POST")
+    sid = s["session_id"]
+    fid = _seed_file(state, sid)
+    for i in range(state.db.EDIT_HISTORY_DEPTH + 7):
+        state.db.push_edit_history(fid, f"op{i}", "{}", "{}")
+    hist = state.db.get_edit_history(fid)
+    assert len(hist) == state.db.EDIT_HISTORY_DEPTH
+    assert hist[0]["op"] == f"op{state.db.EDIT_HISTORY_DEPTH + 6}"
+
+
+def test_delete_file_clears_edit_history(service):
+    base, state = service
+    _, s = _req(base, "/api/session", "POST")
+    sid = s["session_id"]
+    fid = _seed_file(state, sid)
+    state.db.push_edit_history(fid, "x", "{}", "{}")
+    state.db.delete_file(fid)
+    assert state.db.get_edit_history(fid) == []
