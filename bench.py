@@ -141,11 +141,38 @@ def measure_full_pipeline(minutes=10.0):
                   punct_restorer=build_punctuation_restorer(),
                   quality_analyzer=QualityAnalyzer())
 
+    def check_contract(res):
+        """A silently broken stage must fail the bench, not produce a
+        number (round-4 verdict item 7): assert the result-dict contract
+        the reference guarantees (reference core/asr_engine.py:3434-3452)."""
+        assert res is not None, "pipeline returned None"
+        segs = res["segments"]
+        assert segs, "no segments produced"
+        for s in segs:
+            assert s.get("text"), "segment with empty text"
+            assert 0 <= s["start"] <= s["end"] <= dur + 1.0
+        n_words = sum(len(s.get("raw_words", [])) for s in segs)
+        assert n_words > 0, "no words decoded"
+        assert abs(res["duration_sec"] - dur) < 1.0
+        assert res["asr_confidence"] is not None
+        # diarization ran: speaker labels present
+        assert res["has_speaker_diarization"], "diarization produced nothing"
+        assert res["speaker_segments_raw"], "no speaker segments"
+        # DNSMOS ran and is in the MOS range
+        q = res["quality_info"]
+        assert q is not None, "quality analysis missing"
+        for k in ("dnsmos_sig", "dnsmos_bak", "dnsmos_ovrl"):
+            assert 0.0 <= q[k] <= 5.0, f"DNSMOS {k} out of range: {q[k]}"
+        # punctuation ran (timing recorded; text assembled)
+        assert res["timing"]["punctuation"] >= 0.0
+        assert res["text"], "empty transcript"
+
     def run():
         t0 = time.perf_counter()
         res = svt.TranscriberPipeline(path, model, config=cfg, **stages).run()
-        assert res is not None and res["segments"] is not None
-        return time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        check_contract(res)
+        return dt
 
     run()  # warm: compiles + first-trace costs
     return dur / run()

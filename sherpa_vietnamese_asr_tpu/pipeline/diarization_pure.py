@@ -483,14 +483,21 @@ class PureDiarizer:
 
         self.seg_cfg = seg_cfg or PyanNetConfig()
         self.emb_cfg = emb_cfg or ResNetSpeakerConfig()
+        # Random fallbacks use the host-side numpy init: same structure via
+        # eval_shape, no XLA compile of the jitted init programs (~15 s on a
+        # 1-core host; utils/host_init.py). Real checkpoints, when present,
+        # come through the asset registry above.
+        from sherpa_vietnamese_asr_tpu.utils.host_init import (
+            host_random_like,
+        )
         if seg_params is None:
             assets.warn_random("diarization segmentation (PyanNet)")
-            seg_params = init_pyannet_params(jax.random.PRNGKey(0),
-                                             self.seg_cfg)
+            seg_params = host_random_like(init_pyannet_params, 0,
+                                          self.seg_cfg)
         if emb_params is None:
             assets.warn_random("speaker embedding (ResNet34)")
-            emb_params = init_resnet_params(jax.random.PRNGKey(1),
-                                            self.emb_cfg)
+            emb_params = host_random_like(init_resnet_params, 1,
+                                          self.emb_cfg)
         # Multi-chip: superblocks shard over the mesh "data" axis (one span
         # per device per dispatch, _superblock_batch_jit), params replicated.
         from sherpa_vietnamese_asr_tpu.parallel import sharding as shd
