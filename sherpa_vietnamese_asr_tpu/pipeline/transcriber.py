@@ -311,6 +311,34 @@ class TranscriberPipeline:
                 except Exception:
                     pass  # process() falls back to a synchronous run
 
+        # ---- DNSMOS quality overlapped with decode (round 5) ----
+        # analyze_speech is transcript-independent and needs only the
+        # speech-only concat audio, so its window batches can interleave
+        # with decode dispatches instead of adding a serial stage in
+        # _finish (the reference runs it serially between decode and
+        # diarization, asr_engine.py:2496-2528).
+        self._quality_bg = None
+        if self.quality_analyzer is not None \
+                and self.config.get("quality_overlap_decode", True):
+            import threading
+            qbg = {"done": threading.Event()}
+
+            def _quality_worker(ca=concat_audio):
+                t_q = time.time()
+                try:
+                    qbg["result"] = self.quality_analyzer.analyze_speech(ca)
+                except Exception:
+                    qbg["result"] = None
+                finally:
+                    qbg["sec"] = time.time() - t_q
+                    qbg["done"].set()
+
+            qbg["thread"] = threading.Thread(target=_quality_worker,
+                                             daemon=True,
+                                             name="svt-quality-bg")
+            self._quality_bg = qbg
+            qbg["thread"].start()
+
         silent = chunking.find_silent_regions(concat_audio)
         plan = chunking.plan_chunks(len(concat_audio), silent)
 
@@ -398,14 +426,27 @@ class TranscriberPipeline:
         quality_info = None
         if self.quality_analyzer is not None and concat_audio is not None:
             t_q = time.time()
-            try:
+            qbg = getattr(self, "_quality_bg", None)
+            self._quality_bg = None
+            if qbg is not None:
                 self._emit("PHASE:QualityAnalysis|Analyzing audio quality|0")
-                quality_info = self.quality_analyzer.analyze_speech(
-                    concat_audio)
+                qbg["done"].wait()
+                quality_info = qbg.get("result")
                 self._emit("PHASE:QualityAnalysis|Done|100")
-            except Exception:
-                quality_info = None
+            if quality_info is None:  # no overlap, or the bg pass failed
+                try:
+                    self._emit("PHASE:QualityAnalysis|Analyzing audio "
+                               "quality|0")
+                    quality_info = self.quality_analyzer.analyze_speech(
+                        concat_audio)
+                    self._emit("PHASE:QualityAnalysis|Done|100")
+                except Exception:
+                    quality_info = None
+            # what the stage cost the pipeline end-to-end (the overlapped
+            # device time is recorded separately for the profile)
             timing["quality"] = time.time() - t_q
+            if qbg is not None:
+                timing["quality_overlapped"] = qbg.get("sec", 0.0)
 
         # ---- Speaker diarization (runs before punctuation; reference
         # asr_engine.py:2606-2756) ----
