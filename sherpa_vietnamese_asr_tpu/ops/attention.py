@@ -33,7 +33,7 @@ ROW_BLOCK = 128
 
 
 def _attn_kernel_t(lens_ref, q_ref, k_ref, p_ref, poslin_ref, out_ref,
-                   *, t_pad, heads, neg):
+                   *, t_pad, heads, neg, r):
     bh = pl.program_id(0)
     i = pl.program_id(1)
     b = bh // heads
@@ -52,7 +52,6 @@ def _attn_kernel_t(lens_ref, q_ref, k_ref, p_ref, poslin_ref, out_ref,
     # Banded position scores, transposed: band_t[j, t'] = p[t'] . pos_sub[j]
     # with rows j = s + (T-1) - t of the REVERSED pos table, t = i*R + t'.
     # Skewed band column t' needs row offset s + (R-1) - t'.
-    r = ROW_BLOCK
     start = t_pad - r - i * r
     pos_sub = poslin_ref[0, pl.ds(start, t_pad + r - 1), :]  # [T+R-1, pd]
     band = jax.lax.dot_general(
@@ -85,34 +84,42 @@ def _attn_kernel_t(lens_ref, q_ref, k_ref, p_ref, poslin_ref, out_ref,
     out_ref[0] = (e / s).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("heads",))
-def _attn_weights_pallas(q, k, p, pos_lin, lens, heads):
+@functools.partial(jax.jit, static_argnames=("heads", "row_block"))
+def _attn_weights_pallas(q, k, p, pos_lin, lens, heads,
+                         row_block=ROW_BLOCK):
     """q,k: [BH, T, qd]; p: [BH, T, pd]; pos_lin: [H, 2T-1+R, pd]; lens [B].
 
-    T must be a multiple of ROW_BLOCK. Returns [BH, T, T] bf16 KEYS-MAJOR:
+    T must be a multiple of row_block (a multiple of 128: the block runs
+    along LANES in the output). Returns [BH, T, T] bf16 KEYS-MAJOR:
     out[bh, s, t] = softmax_s(scores[t, s]).
+
+    row_block trades roll traffic for grid steps: each grid step pays a
+    fixed dispatch/pipeline overhead, and the skew rolls copy the whole
+    [T+R, R] band log2(R) times — bigger R means fewer, fatter steps
+    (R=256 at stack0: 7 -> 4 query blocks/bh, 8 rolls of a 2x-wide band).
     """
     bh, t_pad, qd = q.shape
     pd = p.shape[-1]
-    grid = (bh, t_pad // ROW_BLOCK)
+    r = row_block
+    grid = (bh, t_pad // r)
     kernel = functools.partial(_attn_kernel_t, t_pad=t_pad, heads=heads,
-                               neg=-1e9)
+                               neg=-1e9, r=r)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # lens
-            pl.BlockSpec((1, ROW_BLOCK, qd), lambda bhi, i: (bhi, i, 0),
+            pl.BlockSpec((1, r, qd), lambda bhi, i: (bhi, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t_pad, qd), lambda bhi, i: (bhi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ROW_BLOCK, pd), lambda bhi, i: (bhi, i, 0),
+            pl.BlockSpec((1, r, pd), lambda bhi, i: (bhi, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * t_pad - 1 + ROW_BLOCK, pd),
+            pl.BlockSpec((1, 2 * t_pad - 1 + r, pd),
                          lambda bhi, i: (bhi % heads, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, t_pad, ROW_BLOCK),
+        out_specs=pl.BlockSpec((1, t_pad, r),
                                lambda bhi, i: (bhi, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, t_pad, t_pad), jnp.bfloat16),
@@ -140,7 +147,8 @@ def attention_weights_pallas(q, k, pq, pos_proj_weight, pos_emb, mask, cfg):
     """
     b, t, h, qd = q.shape
     pd = pq.shape[-1]
-    r = ROW_BLOCK
+    import os
+    r = int(os.environ.get("SVT_ATTN_ROW_BLOCK", "0")) or ROW_BLOCK
     t_pad = -(-t // r) * r
 
     def to_bht(x, d):
@@ -172,6 +180,6 @@ def attention_weights_pallas(q, k, pq, pos_proj_weight, pos_emb, mask, cfg):
     else:
         lens = jnp.full((b,), t, jnp.int32)
 
-    out = _attn_weights_pallas(qf, kf, pf, pos_lin_h, lens, h)
+    out = _attn_weights_pallas(qf, kf, pf, pos_lin_h, lens, h, row_block=r)
     out = out.reshape(b, h, t_pad, t_pad)[:, :, :t, :t]
     return out.astype(jnp.float32)

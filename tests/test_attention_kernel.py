@@ -25,8 +25,14 @@ def _setup(t, lens_list):
     return Z, cfg, layer, x, lens, mask, pos_emb
 
 
-@pytest.mark.parametrize("t,lens_list", [(200, [200, 150]), (130, [97])])
-def test_pallas_attention_matches_xla(t, lens_list):
+@pytest.mark.parametrize("t,lens_list,row_block",
+                         [(200, [200, 150], None), (130, [97], None),
+                          # non-default query block (SVT_ATTN_ROW_BLOCK):
+                          # fewer/fatter grid steps for long-T stacks
+                          (300, [300, 260], 256)])
+def test_pallas_attention_matches_xla(t, lens_list, row_block, monkeypatch):
+    if row_block:
+        monkeypatch.setenv("SVT_ATTN_ROW_BLOCK", str(row_block))
     import jax.numpy as jnp
     from jax.experimental.pallas import tpu as pltpu
 
