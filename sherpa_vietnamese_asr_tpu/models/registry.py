@@ -167,6 +167,10 @@ def load_asr_model(model_dir: str, beam_size: int = 8,
     zcfg = dataclasses.replace(zcfg, compute_dtype=compute_dtype)
     rcfg = RnntConfig(vocab_size=len(id2token), encoder_out_dim=zcfg.output_dim)
     enc, dec, joi = onnx_import.load_zipformer_rnnt(model_dir, zcfg, rcfg)
+    # One-time upload: the importer returns host numpy trees; left as-is
+    # they would re-transfer the full encoder (30-92 MB) on EVERY decode
+    # dispatch over this host's ~20 MB/s link.
+    enc, dec, joi = jax.device_put((enc, dec, joi))
     return AsrModel(name=name, zip_cfg=zcfg, rnnt_cfg=rcfg, enc_params=enc,
                     dec_params=dec, joi_params=joi, id2token=id2token,
                     beam_size=beam_size)

@@ -182,6 +182,11 @@ def silero_vad_probs_streamed(params, audio, block_windows: int = 1875,
     d = params["lstm"]["wh"].shape[0]
     state = (jnp.zeros((d,), jnp.float32), jnp.zeros((d,), jnp.float32))
     tail = jnp.zeros((cfg.context,), host.dtype)
+    # Enqueue every block first (JAX async dispatch; the LSTM state chains
+    # on-device), materialize once at the end: one host round trip total
+    # instead of one per block, and block i+1's upload rides under block
+    # i's compute.
+    pending = []
     done = 0
     while done < n_windows:
         s = done * cfg.window
@@ -191,8 +196,10 @@ def silero_vad_probs_streamed(params, audio, block_windows: int = 1875,
         probs, tail, state = _vad_block_jit(params, jnp.asarray(chunk), tail,
                                             state, cfg, quantize)
         take = min(block_windows, n_windows - done)
-        out[done: done + take] = np.asarray(probs)[:take]
+        pending.append((done, take, probs))
         done += take
+    for start, take, probs in pending:
+        out[start: start + take] = np.asarray(probs)[:take]
     return out
 
 

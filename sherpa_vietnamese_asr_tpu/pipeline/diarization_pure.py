@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -505,6 +506,14 @@ class PureDiarizer:
         if self.mesh is not None:
             seg_params = shd.replicate(seg_params, self.mesh)
             emb_params = shd.replicate(emb_params, self.mesh)
+        else:
+            # Device-resident ONCE: host numpy trees (ONNX-loaded weights or
+            # the host-init random fallback above) would otherwise re-upload
+            # ~25 MB of ResNet34 weights with EVERY superblock dispatch
+            # (~1.3 s/block on this host's ~20 MB/s link — measured as the
+            # round-5 full-pipeline regression, 92x -> 36x).
+            seg_params = jax.device_put(seg_params)
+            emb_params = jax.device_put(emb_params)
         self.seg_params = seg_params
         self.emb_params = emb_params
         self.plda_data = plda_data
@@ -665,8 +674,9 @@ class PureDiarizer:
 
         block_starts = list(range(0, n, w))
         group = 1 if self.mesh is None else self.mesh.devices.size
-        for gi in range(0, len(block_starts), group):
-            bs = block_starts[gi: gi + group]
+
+        def launch(bs):
+            """Dispatch one group; returns un-materialized device arrays."""
             if self.mesh is None:
                 # AOT executable cache: the fused superblock is the single
                 # most expensive program to TRACE (~15 s/process, round-3
@@ -679,31 +689,48 @@ class PureDiarizer:
                     static={"seg_cfg": self.seg_cfg, "emb_cfg": self.emb_cfg,
                             "n_windows": w, "min_seg_frames": min_seg_frames,
                             "quantized": quantized})
-                outs = [(bs[0], np.asarray(am), np.asarray(emb),
-                         np.asarray(valid))]
+                return bs, am, emb, valid, None
+            # Multi-chip: one superblock per device per dispatch,
+            # batch sharded over "data" (zero-padded tail blocks are
+            # computed and discarded — keeps ONE compiled shape).
+            from sherpa_vietnamese_asr_tpu.parallel.sharding import (
+                shard_batch,
+            )
+            blocks = np.stack([build_block(b) for b in bs])
+            dev_blocks, n_real = shard_batch(blocks, self.mesh)
+            am, emb, valid = _superblock_batch_jit(
+                self.seg_params, self.emb_params, dev_blocks,
+                self.seg_cfg, self.emb_cfg, w, min_seg_frames,
+                quantized)
+            return bs, am, emb, valid, n_real
+
+        def drain(item):
+            bs, am, emb, valid, n_real = item
+            am, emb, valid = (np.asarray(am), np.asarray(emb),
+                              np.asarray(valid))
+            if n_real is None:
+                outs = [(bs[0], am, emb, valid)]
             else:
-                # Multi-chip: one superblock per device per dispatch,
-                # batch sharded over "data" (zero-padded tail blocks are
-                # computed and discarded — keeps ONE compiled shape).
-                from sherpa_vietnamese_asr_tpu.parallel.sharding import (
-                    shard_batch,
-                )
-                blocks = np.stack([build_block(b) for b in bs])
-                dev_blocks, n_real = shard_batch(blocks, self.mesh)
-                am, emb, valid = _superblock_batch_jit(
-                    self.seg_params, self.emb_params, dev_blocks,
-                    self.seg_cfg, self.emb_cfg, w, min_seg_frames,
-                    quantized)
-                am, emb, valid = (np.asarray(am)[:n_real],
-                                  np.asarray(emb)[:n_real],
-                                  np.asarray(valid)[:n_real])
                 outs = [(b, am[i], emb[i], valid[i])
-                        for i, b in enumerate(bs)]
+                        for i, b in enumerate(bs[:n_real])]
             for b, am_i, emb_i, valid_i in outs:
                 scatter(b, am_i, emb_i, valid_i)
             if progress_callback:
                 done = min(bs[-1] + w, n)
                 progress_callback(int(done / n * 85), 100)
+
+        # Two-phase pipelined dispatch (decoder.decode_spans pattern): keep
+        # up to `depth` groups in flight so the next span's host->device
+        # upload and the previous span's download ride under device compute
+        # instead of serializing the loop on every per-block round trip.
+        depth = int(os.environ.get("SVT_DIAR_INFLIGHT", "3"))
+        inflight = []
+        for gi in range(0, len(block_starts), group):
+            inflight.append(launch(block_starts[gi: gi + group]))
+            if len(inflight) >= max(1, depth):
+                drain(inflight.pop(0))
+        while inflight:
+            drain(inflight.pop(0))
         binarized = POWERSET_MAP[am_out]
         return binarized, starts, emb_out
 

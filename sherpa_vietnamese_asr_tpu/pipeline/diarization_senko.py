@@ -197,13 +197,14 @@ class SenkoCamppDiarizer:
             assets.warn_random("diarization segmentation (PyanNet)")
             seg_params = init_pyannet_params(jax.random.PRNGKey(0),
                                              self.seg_cfg)
-        self.seg_params = seg_params
+        # One-time upload (ONNX-loaded weights are host numpy).
+        self.seg_params = jax.device_put(seg_params)
         self.campp_cfg = campp_cfg or CamppConfig()
         if campp_params is None:
             assets.warn_random("speaker embedding (CAM++)")
             campp_params = init_campp_params(jax.random.PRNGKey(1),
                                              self.campp_cfg)
-        self.campp_params = campp_params
+        self.campp_params = jax.device_put(campp_params)
         self.num_speakers = num_speakers
         self.min_speakers = max(1, min_speakers)
         self.max_speakers = max_speakers

@@ -190,6 +190,12 @@ class GecBert:
             size = self.mesh.devices.size
             mini_batch_size = -(-mini_batch_size // size) * size
             params = shd.replicate(params, self.mesh)
+        else:
+            # One-time upload: an ONNX-loaded ViBERT is ~110 MB of host
+            # numpy — re-transferring it per minibatch would dominate the
+            # stage on this host's ~20 MB/s link.
+            import jax
+            params = jax.device_put(params)
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer

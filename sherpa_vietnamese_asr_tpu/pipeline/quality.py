@@ -54,6 +54,10 @@ class QualityAnalyzer:
         self.mesh = shd.default_mesh() if mesh == "auto" else mesh
         if self.mesh is not None:
             params = shd.replicate(params, self.mesh)
+        else:
+            # One-time upload: ONNX-loaded weights are host numpy and would
+            # otherwise re-transfer on every window batch.
+            params = jax.device_put(params)
         self.params = params
 
     @staticmethod

@@ -669,11 +669,13 @@ class TranscriberPipeline:
         reference's silent per-window ORT session, core/vad_utils.py:22)."""
         from sherpa_vietnamese_asr_tpu.models import assets, silero_vad
 
+        import jax
+
         loaded = assets.load_silero()
         if loaded is not None:
             params, cfg = loaded
+            params = jax.device_put(params)  # one-time upload (host numpy)
         else:
-            import jax
             assets.warn_random("Silero VAD")
             cfg = silero_vad.SileroVadConfig()
             params = silero_vad.init_silero_params(jax.random.PRNGKey(0),
