@@ -425,7 +425,10 @@ class GecBert:
                 # word wi's gap applies at token index wi+1 ($START at 0)
                 hints_arr[i, 1: 1 + len(hv)] = hv
         mb = self.mini_batch_size
-        mp_parts, idx_parts, err_parts = [], [], []
+        # Enqueue every minibatch first (JAX async dispatch), materialize
+        # after: the per-dispatch host<->device round trip rides under the
+        # previous minibatch's forward instead of serializing the loop.
+        launched = []
         for i in range(0, b, mb):
             sl = slice(i, min(i + mb, b))
             k = sl.stop - sl.start
@@ -435,11 +438,13 @@ class GecBert:
             packed[:k, 2 * t:] = offs[sl]
             hsl = np.full((mb, w), np.nan, np.float32)
             hsl[:k] = hints_arr[sl]
-            mp, ix, er = _vibert_decode_jit(
+            launched.append((k, _vibert_decode_jit(
                 self.params, self._device_put_batch(packed),
                 self._device_put_batch(hsl), *self._decode_vecs,
                 cfg=self.cfg, t=t, w=w, noop_index=self.noop_index,
-                incorr_index=self.incorr_index)
+                incorr_index=self.incorr_index)))
+        mp_parts, idx_parts, err_parts = [], [], []
+        for k, (mp, ix, er) in launched:
             mp_parts.append(np.asarray(mp)[:k])
             idx_parts.append(np.asarray(ix)[:k])
             err_parts.append(np.asarray(er)[:k])

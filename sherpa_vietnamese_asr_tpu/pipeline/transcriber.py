@@ -230,8 +230,10 @@ class TranscriberPipeline:
 
     def _run(self, t0, timing):
         self._emit("PHASE:LoadAudio|Loading audio|0")
+        t_load = time.time()
         audio = load_audio(self.file_path, SAMPLE_RATE,
                            progress_callback=self._emit)
+        timing["load_audio"] = time.time() - t_load
         total_samples = len(audio)
         if self._cancelled():
             return None
@@ -359,9 +361,22 @@ class TranscriberPipeline:
                         apply_wpe_dereverberation(chunk))
                 except Exception:
                     return chunk
+        # Lossless int16 upload when the audio is 16-bit-PCM-sourced and no
+        # float-valued per-chunk transform runs: halves the decode stage's
+        # host->device bytes (the dominant cost of a warm decode on this
+        # tunnel) with BIT-IDENTICAL tokens — k/32768 floats round-trip the
+        # int16 quantization exactly (utils/audio_io.is_int16_exact).
+        transfer_dtype = self.config.get("decode_transfer_dtype")
+        if transfer_dtype is None and chunk_transform is None:
+            from sherpa_vietnamese_asr_tpu.utils.audio_io import (
+                is_int16_exact,
+            )
+            if is_int16_exact(concat_audio):
+                transfer_dtype = "int16"
         decoder = BatchedChunkDecoder(
             self.model, max_batch=self._max_batch(),
-            model_b=self.model_b, chunk_transform=chunk_transform)
+            model_b=self.model_b, chunk_transform=chunk_transform,
+            transfer_dtype=transfer_dtype)
         spans = [(s, e) for s, e, _ in plan]
         decoded = decoder.decode_spans(
             concat_audio, spans, progress_callback=self._emit,
@@ -400,6 +415,7 @@ class TranscriberPipeline:
             return None
 
         # ---- Merge overlaps, suspects, fillers ----
+        t_merge = time.time()
         from sherpa_vietnamese_asr_tpu.pipeline.rover import (
             rebuild_disagree_indices,
         )
@@ -412,6 +428,7 @@ class TranscriberPipeline:
         full_text = " ".join(w["text"] for w in all_words)
         if full_text:
             full_text = full_text.capitalize()
+        timing["merge_suspect"] = time.time() - t_merge
 
         self._save_checkpoint(all_words, full_text, len(concat_audio),
                               vad_probs)
@@ -579,6 +596,12 @@ class TranscriberPipeline:
                 "alignment": timing["alignment"],
                 "diarization": timing["diarization"],
                 "quality": timing["quality"],
+                # Observability extras (additive to the reference contract):
+                # where the non-device wall goes.
+                "load_audio": timing.get("load_audio", 0.0),
+                "vad": timing.get("vad", 0.0),
+                "merge_suspect": timing.get("merge_suspect", 0.0),
+                "quality_overlapped": timing.get("quality_overlapped", 0.0),
             },
             "paragraphs": [],
             "has_speaker_diarization": bool(speaker_segments_raw),

@@ -87,6 +87,22 @@ def write_wav(path, audio, sample_rate=SAMPLE_RATE):
         f.write(b"data" + struct.pack("<I", len(data)) + data)
 
 
+def is_int16_exact(audio) -> bool:
+    """True when every sample is exactly k/32768 with k in int16 range.
+
+    Audio decoded from 16-bit PCM (the overwhelmingly common case — WAV and
+    the ffmpeg s16le pipe both produce k/32768 floats) round-trips through
+    an int16 device transfer bit-identically, so the half-bytes upload path
+    is LOSSLESS for it: quantize x*32768 -> k (exact in fp32), dequantize
+    k/32768 -> the original float. Float-valued audio (RMS-normalized, WPE,
+    float WAVs) fails this test and must ship as float32."""
+    audio = np.asarray(audio)
+    v = audio * np.float32(32768.0)
+    return bool(np.logical_and(
+        np.logical_and(v >= -32768.0, v <= 32767.0),
+        v == np.rint(v)).all())
+
+
 def resample_poly(x, sr_in, sr_out, num_zeros=16):
     """Windowed-sinc polyphase resampler (Kaiser-windowed), mono float32."""
     if sr_in == sr_out:

@@ -340,3 +340,26 @@ def test_decoder_sharded_pallas_kernel_matches_single_device(rng):
         for wa, wb in zip(a, b):
             assert abs(wa["start"] - wb["start"]) < 1e-6
             assert abs(wa["prob"] - wb["prob"]) < 1e-4
+
+
+def test_int16_exact_detection_and_lossless_roundtrip(rng, tmp_path):
+    """16-bit-PCM-sourced floats (k/32768) must be detected as int16-exact
+    and survive the decoder's quantize/dequantize bit-identically — the
+    basis for the pipeline's automatic lossless int16 decode upload."""
+    from sherpa_vietnamese_asr_tpu.utils.audio_io import (
+        is_int16_exact, load_audio, write_wav,
+    )
+
+    k = rng.integers(-32768, 32768, size=5000).astype(np.float32)
+    a = k / np.float32(32768.0)
+    assert is_int16_exact(a)
+    # the decoder's transfer path (pipeline/decoder.py:289 + :41)
+    q = np.clip(np.rint(a * 32768.0), -32768, 32767).astype(np.int16)
+    back = q.astype(np.float32) / np.float32(32768.0)
+    assert np.array_equal(back, a)
+    # float-valued audio (e.g. RMS-normalized) must ship as float32
+    assert not is_int16_exact(a * np.float32(0.9993))
+    # WAV round trip through the library's own writer/loader stays exact
+    path = str(tmp_path / "x.wav")
+    write_wav(path, a, 16000)
+    assert is_int16_exact(load_audio(path, 16000))
