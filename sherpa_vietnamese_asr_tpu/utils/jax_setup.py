@@ -35,13 +35,19 @@ def ensure_setup():
     except Exception:
         cfg_plat = ""
     subdir = backend.replace(",", "_") or "default"
-    # Key by host CPU whenever the platform set can resolve to CPU — that
+    # Key by host whenever the platform set can resolve to CPU — that
     # includes the UNSET/"default" case (no TPU present -> CPU at runtime),
-    # not just an explicit "cpu". Hash the model name too, not only the
-    # flags line: XLA derives extra LLVM target features from the CPU
-    # model (e.g. +prefer-no-scatter on Sapphire Rapids), so two hosts
-    # with identical cpuinfo flags can still produce incompatible AOT
-    # artifacts.
+    # not just an explicit "cpu". The /proc/cpuinfo flags+model hash used
+    # through round 4 is NOT sufficient: virtualized hosts expose identical
+    # generic cpuinfo ("Intel(R) Xeon(R) Processor @ 2.10GHz") while XLA
+    # derives the real microarch's tuning features via cpuid (e.g.
+    # +prefer-no-scatter on Sapphire Rapids) — two such hosts hash alike
+    # and trade AOT artifacts that execute as DIFFERENT binaries (measured:
+    # cross-machine loads flipped test_batch_independence numerics past
+    # 2e-4 and segfaulted executable deserialization in the warmup tests).
+    # boot_id is unique per boot, so CPU artifacts are never shared across
+    # machines; same-boot processes (the warm-start path that matters)
+    # still share. TPU artifacts stay keyed by backend only.
     plats = (backend + "," + cfg_plat).lower()
     pinned_noncpu = plats.strip(", ") not in ("", "default") \
         and "cpu" not in plats
@@ -56,6 +62,11 @@ def ensure_setup():
                         ident.append(line)
                     if len(ident) == 2:
                         break
+            try:
+                with open("/proc/sys/kernel/random/boot_id") as f:
+                    ident.append(f.read())
+            except OSError:
+                pass
             if ident:
                 machine = hashlib.sha256(
                     "".join(ident).encode()).hexdigest()[:12]

@@ -1,6 +1,7 @@
 # Batch autotune + HBM-aware sizing (reference core/calibration.py:968
 # _tune_gpu_batch and core/hardware_accel.py:639-678 auto_batch_size,
 # retargeted to TPU HBM).
+import pytest
 import json
 
 import numpy as np
@@ -111,6 +112,7 @@ def test_compare_pipeline_runs_gates():
     assert cmp5["parity_ok"]
 
 
+@pytest.mark.slow
 def test_full_pipeline_calibration_cpu_vs_cpu(tmp_path):
     """End-to-end run_full_pipeline_calibration on a short sample with a
     tiny model: the accelerator pass (here: the test process's CPU backend)

@@ -22,6 +22,7 @@ def fx():
         return json.load(f)
 
 
+@pytest.mark.slow
 def test_emitted_graphs_execute_and_roundtrip(tmp_path):
     """Tiny-size fast check of the executable-graph emitter: exec output
     matches the JAX forwards and the file re-imports leaf-for-leaf."""

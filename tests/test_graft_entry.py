@@ -6,6 +6,7 @@
 # These tests run dryrun_multichip exactly the way the driver does — importing
 # the module and calling the function from a parent process whose environment
 # we deliberately poison — and assert the subprocess re-exec keeps it green.
+import pytest
 import os
 import subprocess
 import sys
@@ -25,6 +26,7 @@ def _run_driver_style(extra_env):
                           capture_output=True, text=True, timeout=1200)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_inprocess():
     sys.path.insert(0, REPO)
     os.environ["SVT_DRYRUN_FAST"] = "1"
@@ -36,6 +38,7 @@ def test_dryrun_multichip_inprocess():
         os.environ.pop("SVT_DRYRUN_FAST", None)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_hermetic_vs_poisoned_env():
     # A parent env that pins a nonexistent platform and hostile XLA flags must
     # not leak into the dryrun: the re-exec strips and overrides them.

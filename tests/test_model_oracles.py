@@ -15,6 +15,7 @@ import pytest
 torch = pytest.importorskip("torch")
 
 
+@pytest.mark.slow
 def test_vibert_forward_matches_hf_bert(rng, tmp_path):
     """JAX ViBERT == transformers.BertModel + linear heads, weights imported
     through the ONNX name-map path (validates map AND math at once)."""

@@ -29,6 +29,7 @@ def test_native_wav_decode_matches_python(lib, tmp_path, rng):
     np.testing.assert_allclose(audio, ref_mono, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_native_resample_matches_python(lib, rng):
     from sherpa_vietnamese_asr_tpu.utils.audio_io import resample_poly
     from sherpa_vietnamese_asr_tpu.utils.native import resample_native

@@ -1,5 +1,6 @@
 # ONNX wire parser tests against synthesized ONNX bytes.
 import numpy as np
+import pytest
 
 from sherpa_vietnamese_asr_tpu.utils import protowire as pw
 
@@ -95,6 +96,7 @@ def test_int64_packed_field(rng):
     np.testing.assert_array_equal(read_onnx(buf)["initializers"]["ids"], arr)
 
 
+@pytest.mark.slow
 def test_joiner_decoder_mapping(tmp_path, rng):
     """End-to-end: synthesize decoder/joiner ONNX files, load via
     load_zipformer_rnnt (encoder map intentionally pending -> ImportReport

@@ -37,6 +37,7 @@ def test_wav_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(y[:, 0], x, atol=1.0 / 16000)
 
 
+@pytest.mark.slow
 def test_resample_preserves_tone(rng):
     from sherpa_vietnamese_asr_tpu.utils.audio_io import resample_poly
     sr_in, sr_out = 44100, 16000

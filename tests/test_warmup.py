@@ -28,6 +28,7 @@ def _tiny_model():
                             zip_cfg=TINY_ZIPFORMER)
 
 
+@pytest.mark.slow
 def test_warmup_stages_run_concurrently():
     """jobs>1 runs stages on a thread pool; timings dict still reports
     every requested stage, and a failing stage is isolated to None."""
@@ -41,6 +42,7 @@ def test_warmup_stages_run_concurrently():
     assert any("decode" in m for m in logs)
 
 
+@pytest.mark.slow
 def test_warmup_stage_failure_isolated():
     from sherpa_vietnamese_asr_tpu.pipeline import warmup as W
 

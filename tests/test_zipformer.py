@@ -102,6 +102,7 @@ def test_encoder_embed_matches_naive_convs(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_param_counts_are_in_expected_range():
     import jax
 
