@@ -118,13 +118,18 @@ def test_param_counts_are_in_expected_range():
     assert n68 > n30
 
 
-def test_batch_independence(model, rng):
+def test_batch_independence(model):
     import jax.numpy as jnp
 
     from sherpa_vietnamese_asr_tpu.models.zipformer import zipformer_encoder
 
     cfg, params = model
-    x = rng.standard_normal((3, 71, 80)).astype(np.float32)
+    # Hermetic input: the shared session rng's state depends on which tests
+    # ran before this one, and the 2e-4 batched-vs-single tolerance is
+    # input-sensitive (XLA fuses the two batch shapes differently) — a
+    # tier-membership change once flipped this test by shifting the stream.
+    x = np.random.default_rng(1234).standard_normal((3, 71, 80)).astype(
+        np.float32)
     lens = np.array([71, 71, 71], dtype=np.int32)
     out, _ = zipformer_encoder(params, jnp.asarray(x), jnp.asarray(lens), cfg)
     out0, _ = zipformer_encoder(params, jnp.asarray(x[:1]),
